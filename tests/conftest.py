@@ -1,0 +1,13 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Real multi-chip TPU hardware is not available in CI; sharding/halo-exchange tests
+use XLA's host-platform device virtualization instead.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")

@@ -1,0 +1,148 @@
+"""Frame codec tests: byte layout, roundtrips, compaction, metadata.
+
+These are the unit tests the reference only sketched in comments
+(particle_io/src/lib.rs:13-53, reader.rs:114-149, writer.rs:30-66), revived.
+"""
+
+import numpy as np
+import pytest
+
+from particle_simulator_tpu.io.frame import (
+    DataStructure,
+    Device,
+    Frame,
+    HEADER_SIZE,
+    MieParams,
+    PARTICLE_DTYPE,
+    PARTICLE_SIZE,
+    SIGNATURE_END,
+    SIGNATURE_START,
+    U32_MAX,
+    default_metadata,
+    packet_size,
+)
+
+
+def test_layout_sizes():
+    # These sizes are the wire contract with the reference editor.
+    assert HEADER_SIZE == 96
+    assert PARTICLE_SIZE == 20
+    assert packet_size(0) == 96
+    assert packet_size(3) == 96 + 60
+
+
+def test_signatures_and_field_offsets():
+    f = Frame.new()
+    raw = f.bytes
+    assert raw[:4] == SIGNATURE_START
+    assert raw[88:92] == SIGNATURE_END
+    # particle_count at offset 4
+    assert raw[4:8] == b"\x00\x00\x00\x00"
+    # metadata starts at offset 8 with particles[0].sigma (Nitrogen)
+    assert np.frombuffer(raw[8:12], dtype="<f4")[0] == np.float32(3.609e-10)
+
+
+def test_default_metadata_matches_reference_defaults():
+    m = Frame.new().metadata
+    assert m.step_dt == np.float32(50e-15)
+    assert m.steps_per_frame == 100
+    assert m.box_width == np.float32(50e-9)
+    assert m.box_height == np.float32(50e-9)
+    assert m.data_structure == DataStructure.MATRIX_BUCKETS
+    assert m.device == Device.GPU
+    assert m.gpu_threads_per_block_log2 == 7
+    assert tuple(m.cursor_pos) == (-1.0, -1.0)
+    n = m.species(0)
+    assert n.n == np.float32(14.08)
+    ar = m.species(1)
+    assert ar.sigma == np.float32(3.404e-10)
+
+
+def test_force0_r():
+    # Equilibrium distance: sigma * (n/m)^(1/(n-m))
+    p = MieParams(sigma=2.0, epsilon=1.0, n=12.0, m=6.0)
+    assert p.force0_r() == pytest.approx(2.0 * 2.0 ** (1.0 / 6.0))
+
+
+def test_push_drop_clear_roundtrip():
+    f = Frame.new()
+    m = f.metadata
+    for i in range(5):
+        f.push(m.new_particle((i * 1e-9 + 1e-9, 2e-9), (1.0, -1.0), ty=0))
+    assert f.particle_count == 5
+    assert len(f.bytes) == packet_size(5)
+
+    g = Frame.from_bytes(f.bytes)
+    assert g == f
+    assert g.is_valid()
+    np.testing.assert_array_equal(g.particles, f.particles)
+
+    f.drop(2)
+    assert f.particle_count == 3
+    f.clear()
+    assert f.particle_count == 0
+    assert len(f.bytes) == HEADER_SIZE
+
+
+def test_new_particle_fixed_point():
+    f = Frame.new()
+    m = f.metadata
+    p = m.new_particle((m.box_width / 2.0, m.box_height / 4.0), (3.0, 4.0), ty=1)
+    assert p["x"] == round(U32_MAX / 2.0)
+    assert p["y"] == round(U32_MAX / 4.0)
+    assert p["vx"] == np.float32(3.0)
+    assert p["ty"] == 1
+
+
+def test_compact_drops_tombstones_in_order():
+    f = Frame.new()
+    parts = np.zeros(6, dtype=PARTICLE_DTYPE)
+    parts["x"] = np.arange(6)
+    parts["ty"] = [0, -1, 1, -1, -1, 2]
+    f.extend(parts)
+    f.compact()
+    assert f.particle_count == 3
+    np.testing.assert_array_equal(f.particles["x"], [0, 2, 5])
+    np.testing.assert_array_equal(f.particles["ty"], [0, 1, 2])
+
+
+def test_compact_into():
+    f = Frame.new()
+    f.metadata.step_dt = 1e-15
+    parts = np.zeros(4, dtype=PARTICLE_DTYPE)
+    parts["x"] = [10, 11, 12, 13]
+    parts["ty"] = [-1, 0, -1, 0]
+    f.extend(parts)
+
+    dst = Frame.new()
+    f.compact_into(dst)
+    assert dst.particle_count == 2
+    assert dst.metadata.step_dt == np.float32(1e-15)
+    np.testing.assert_array_equal(dst.particles["x"], [11, 13])
+    # source untouched
+    assert f.particle_count == 4
+
+
+def test_from_bytes_validation():
+    with pytest.raises(ValueError):
+        Frame.from_bytes(b"\x00" * 10)
+    f = Frame.new()
+    f.push(f.metadata.new_particle((1e-9, 1e-9), (0, 0)))
+    with pytest.raises(ValueError):
+        Frame.from_bytes(f.bytes[:-1] + b"")
+
+
+def test_metadata_mutation_is_in_place():
+    f = Frame.new()
+    f.metadata.steps_per_frame = 7
+    f.metadata.box_width = 1e-8
+    g = Frame.from_bytes(f.bytes)
+    assert g.metadata.steps_per_frame == 7
+    assert g.metadata.box_width == np.float32(1e-8)
+
+
+def test_metadata_only_frame_is_96_bytes():
+    # particle_count == 0 frames are the live-reconfigure packets.
+    f = Frame.from_metadata(default_metadata())
+    assert len(f.bytes) == 96
+    assert f.particle_count == 0
