@@ -1,0 +1,158 @@
+"""Physics tests: JAX all-pairs path vs NumPy oracle, leapfrog stability.
+
+The fidelity bar comes from the reference's own claims (doc/project.typ:208-209):
+leapfrog stays stable for long horizons where Euler explodes, and the build
+target is matching CPU-reference trajectories to f32 tolerance.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from particle_simulator_tpu.engine.state import SimParams, state_from_numpy, state_to_numpy
+from particle_simulator_tpu.io.frame import Frame, default_metadata
+from particle_simulator_tpu.io.presets import ParticleLattice
+from particle_simulator_tpu.physics import oracle
+from particle_simulator_tpu.physics.step import allpairs_step, run_frame_jit
+
+
+def make_scene(nx=8, ny=8, vel=(0.0, 50.0), seed=0, distance_factor=1.1):
+    frame = Frame.new()
+    lat = ParticleLattice((nx, ny), distance_factor=distance_factor, velocity=vel)
+    meta = frame.metadata
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(seed))
+    return frame
+
+
+def jax_steps(parts, meta_record, steps):
+    state = state_from_numpy(parts, capacity=len(parts))
+    p = SimParams.from_record(meta_record)
+    step = jax.jit(allpairs_step)
+    for _ in range(steps):
+        state = step(state, p)
+    return state_to_numpy(jax.block_until_ready(state))
+
+
+def test_single_step_matches_oracle_exactly_or_close():
+    frame = make_scene()
+    parts = frame.particles.copy()
+    meta = frame.metadata.copy()
+
+    got = jax_steps(parts, meta, 1)
+    want = oracle.oracle_step(parts, meta)
+
+    # velocities: f32-tolerance; positions: within a few fixed-point ulps
+    np.testing.assert_allclose(got["vx"], want["vx"], rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(got["vy"], want["vy"], rtol=2e-5, atol=1e-4)
+    dx = np.abs(got["x"].astype(np.int64) - want["x"].astype(np.int64))
+    dy = np.abs(got["y"].astype(np.int64) - want["y"].astype(np.int64))
+    assert dx.max() <= 2, dx.max()
+    assert dy.max() <= 2, dy.max()
+
+
+def test_trajectory_matches_oracle_100_steps():
+    frame = make_scene(nx=6, ny=6, vel=(0.0, 20.0))
+    parts = frame.particles.copy()
+    meta = frame.metadata.copy()
+    meta["step_dt"] = 10e-15  # tighter dt: the stiff r^-14 force amplifies f32 noise
+
+    got = jax_steps(parts, meta, 100)
+    want = oracle.oracle_run(parts.copy(), meta, 100)
+
+    box = float(meta["box_width"])
+    # trajectory envelope: positions agree within 1e-3 of the equilibrium distance
+    r0 = frame.metadata.species(0).force0_r()
+    tol_u32 = r0 * 1e-3 / box * 4294967295.0
+    dx = np.abs(got["x"].astype(np.int64) - want["x"].astype(np.int64))
+    dy = np.abs(got["y"].astype(np.int64) - want["y"].astype(np.int64))
+    assert np.median(dx) <= tol_u32, (np.median(dx), tol_u32)
+    assert np.median(dy) <= tol_u32, (np.median(dy), tol_u32)
+
+
+def test_leapfrog_energy_stability_10k_steps():
+    # Reference stability claim: leapfrog survives >10 ns at dt=10 fs
+    # (doc/project.typ:209). 10k steps at 10 fs = 0.1 ns with bounded energy.
+    frame = make_scene(nx=6, ny=6, vel=(0.0, 10.0), distance_factor=1.12)
+    parts = frame.particles.copy()
+    meta = frame.metadata.copy()
+    meta["step_dt"] = 10e-15
+    meta["steps_per_frame"] = 100
+    meta["cursor_pos"] = (-1.0, -1.0)
+
+    state = state_from_numpy(parts, capacity=len(parts))
+    p = SimParams.from_record(meta)
+
+    e0 = oracle.total_energy(parts, meta)
+    energies = []
+    for _ in range(100):  # 100 frames x 100 steps = 10k steps
+        state = run_frame_jit(state, p)
+        energies.append(oracle.total_energy(state_to_numpy(state), meta))
+
+    e = np.array(energies)
+    assert np.all(np.isfinite(e)), "energy blew up (NaN/inf)"
+    # energy scale: |e0| or the kinetic energy floor, whichever larger
+    scale = max(abs(e0), 1e-21)
+    drift = np.abs(e - e0) / scale
+    assert drift.max() < 0.05, f"energy drift {drift.max():.3%} exceeds 5%"
+
+    # particles stayed inside the box (no wall tunneling / explosion)
+    parts_end = state_to_numpy(state)
+    assert np.all(parts_end["vx"] == parts_end["vx"])  # no NaN
+
+
+def test_cursor_force_pushes_particles_away():
+    frame = make_scene(nx=4, ny=4, vel=(0.0, 0.0))
+    parts = frame.particles.copy()
+    meta = frame.metadata.copy()
+    meta["cursor_pos"] = (0.5, 0.5)  # center, where the lattice is
+    meta["cursor_size"] = 0.5
+
+    before = parts["x"].astype(np.float64) / 4294967295.0
+    got = jax_steps(parts, meta, 50)
+    after = got["x"].astype(np.float64) / 4294967295.0
+    # mean distance from cursor center should grow
+    d_before = np.abs(before - 0.5).mean()
+    d_after = np.abs(after - 0.5).mean()
+    assert d_after > d_before
+
+
+def test_tombstones_are_inert():
+    frame = make_scene(nx=4, ny=4, vel=(0.0, 30.0))
+    parts = frame.particles.copy()
+    meta = frame.metadata.copy()
+
+    # same scene padded with tombstones must give identical live trajectories
+    got_exact = jax_steps(parts, meta, 10)
+    state = state_from_numpy(parts, capacity=len(parts) + 37)
+    p = SimParams.from_record(meta)
+    step = jax.jit(allpairs_step)
+    for _ in range(10):
+        state = step(state, p)
+    got_padded = state_to_numpy(state)[: len(parts)]
+
+    np.testing.assert_array_equal(got_exact["x"], got_padded["x"])
+    np.testing.assert_array_equal(got_exact["vx"], got_padded["vx"])
+    # tombstones unchanged
+    tail = state_to_numpy(state)[len(parts):]
+    assert np.all(tail["ty"] == -1)
+    assert np.all(tail["x"] == 0)
+
+
+def test_metadata_change_does_not_recompile():
+    frame = make_scene(nx=4, ny=4)
+    parts = frame.particles.copy()
+    state = state_from_numpy(parts, capacity=len(parts))
+    meta = frame.metadata.copy()
+    p1 = SimParams.from_record(meta)
+    meta2 = meta.copy()
+    meta2["step_dt"] = 1e-15
+    meta2["steps_per_frame"] = 7
+    meta2["cursor_pos"] = (0.3, 0.3)
+    p2 = SimParams.from_record(meta2)
+
+    with jax.log_compiles():
+        s1 = run_frame_jit(state, p1)
+        n_before = run_frame_jit._cache_size()
+        s2 = run_frame_jit(s1, p2)
+        assert run_frame_jit._cache_size() == n_before, "metadata change recompiled!"
