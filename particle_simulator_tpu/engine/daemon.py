@@ -1,0 +1,155 @@
+"""The engine daemon: TCP main loop speaking the editor protocol.
+
+Process-for-process replacement of the reference simulator binary
+(cuda_simulator/src/cuda_simulator.cu:7-54):
+
+1. connect to the editor's TCP server as a client,
+2. spin (1 ms sleep) until a frame with particles arrives,
+3. then loop: dispatch the next frame's physics on device (async) / poll the
+   editor (metadata-only = live reconfigure, non-empty = scene reset + echo) /
+   read back and ship the *previous* frame — so device compute of frame k+1
+   overlaps host readback and TCP send of frame k, exactly the reference's
+   double-buffered overlap, provided here by JAX async dispatch.
+
+Run:  python -m particle_simulator_tpu.engine.daemon [--addr HOST:PORT] [--files DIR]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+from particle_simulator_tpu.engine.simulator import Simulator
+from particle_simulator_tpu.io.frame import Frame
+from particle_simulator_tpu.io.transport import (
+    Disconnected,
+    Reader,
+    Writer,
+    new_tcp_client,
+)
+
+
+class Frontend:
+    """Connection glue (frontend.hpp analog): newest-wins reads, compacted writes."""
+
+    def __init__(self, reader: Reader, writer: Writer, verbose: bool = True):
+        self.reader = reader
+        self.writer = writer
+        self.is_connected = True
+        self.verbose = verbose
+
+    @staticmethod
+    def connect_tcp(addr, retry_s: float = 0.0) -> "Frontend":
+        deadline = time.monotonic() + retry_s
+        while True:
+            try:
+                reader, writer = new_tcp_client(addr)
+                return Frontend(reader, writer)
+            except OSError:
+                if time.monotonic() >= deadline:
+                    raise
+                time.sleep(0.2)
+
+    @staticmethod
+    def open_files(in_path: str, out_path: str) -> "Frontend":
+        """File-pair transport alternative (frontend.hpp:16-20)."""
+        return Frontend(Reader.open_file(in_path), Writer.open_file(out_path))
+
+    def read(self) -> Frame | None:
+        """Newest pending editor frame, or None."""
+        if not self.is_connected:
+            return None
+        try:
+            frame = self.reader.read_last()
+        except Disconnected:
+            self.is_connected = False
+            return None
+        if frame is not None and self.verbose:
+            print(frame.print(), file=sys.stderr)
+        return frame
+
+    def write(self, frame: Frame) -> None:
+        if not self.is_connected:
+            return
+        if not self.writer.write(frame):
+            self.is_connected = False
+
+
+def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None) -> int:
+    """The compute_frame loop (cuda_simulator.cu:7-38). Returns frames shipped."""
+    # prime: echo the prepared first scene and dispatch its first frame
+    frontend.write(sim.read_frame())
+    sim.frame_async()
+    shipped = 1
+
+    while frontend.is_connected and (max_frames is None or shipped < max_frames):
+        prev_state = sim.state  # the frame just dispatched resolves into this
+        sim.frame_async()  # enqueue NEXT frame's steps (overlaps readback below)
+
+        incoming = frontend.read()
+        if incoming is not None:
+            if incoming.particle_count == 0:
+                sim.update_metadata(incoming)  # live param tweak
+            else:
+                sim.load_frame(incoming)  # full scene reset
+                sim.frame_async()
+                frontend.write(sim.read_frame())
+                shipped += 1
+                continue
+
+        frontend.write(sim.read_frame(prev_state))
+        shipped += 1
+    return shipped
+
+
+def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0) -> int:
+    from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
+
+    sim = Simulator(grid or REFERENCE_GRID)
+    frontend = Frontend.connect_tcp(addr, retry_s=retry_s)
+    print(f"engine: connected to editor at {addr}", file=sys.stderr)
+
+    # wait for the first non-empty frame (cuda_simulator.cu:43-49)
+    while frontend.is_connected:
+        frame = frontend.read()
+        if frame is not None and frame.particle_count > 0:
+            sim.load_frame(frame)
+            break
+        time.sleep(0.001)
+
+    if not frontend.is_connected:
+        print("engine: editor disconnected before first scene", file=sys.stderr)
+        return 0
+
+    shipped = main_loop(frontend, sim, max_frames=max_frames)
+    print(f"engine: disconnected after {shipped} frames", file=sys.stderr)
+    return shipped
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--addr", default="127.0.0.1:53123", help="editor TCP address")
+    ap.add_argument("--files", default=None, help="DIR: use DIR/backend_in.bin + DIR/backend_out.bin instead of TCP")
+    ap.add_argument("--max-frames", type=int, default=None)
+    ap.add_argument("--retry-s", type=float, default=10.0, help="keep retrying the connection this long")
+    args = ap.parse_args(argv)
+
+    if args.files:
+        frontend = Frontend.open_files(f"{args.files}/backend_in.bin", f"{args.files}/backend_out.bin")
+        sim = Simulator()
+        while frontend.is_connected:
+            frame = frontend.read()
+            if frame is not None and frame.particle_count > 0:
+                sim.load_frame(frame)
+                break
+            time.sleep(0.001)
+        return 0 if main_loop(frontend, sim, args.max_frames) else 1
+
+    host, port = args.addr.rsplit(":", 1)
+    serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

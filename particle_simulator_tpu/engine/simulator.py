@@ -1,0 +1,180 @@
+"""The simulator core: device state management + frame scheduling.
+
+This is the TPU-native replacement for the reference's ``Kernel`` buffer manager
+and dispatch logic (cuda_simulator/src/kernel.cuh):
+
+- The reference hand-rolls 3 device buffers, a CUDA stream, pinned host memory,
+  and ping-pong scheduling. Under JAX none of that is manual: ``jit`` with donated
+  arguments reuses device buffers in place, and **async dispatch** gives the
+  compute/readback overlap (compute of frame k+1 overlaps host readback of frame
+  k, the reference's double-buffer trick at cuda_simulator.cu:7-26) for free:
+  ``frame_async()`` returns immediately after enqueueing the device work, and
+  ``read_frame()`` only blocks on the *previous* state's transfer.
+
+- Scene frames are prepared into the kernel layout on the host
+  (``kernel_prepare_frame`` analog, kernel.cuh:200-250): CompactArray frames are
+  compacted and capacity-padded; MatrixBuckets frames are bucketized by
+  coordinate top-bits.
+
+- Device selection (``Device`` metadata field) is honored per frame at runtime:
+  GPU -> the accelerator (TPU), CPU_* -> the JAX CPU backend running the *same*
+  step functions — preserving the reference's one-kernel-all-devices property
+  (doc/project.typ:673-708). If no accelerator is present, GPU falls back to
+  CPU_THREAD_POOL exactly like the reference (kernel.cuh:203-205).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import numpy as np
+
+from particle_simulator_tpu.engine.state import (
+    ParticleState,
+    SimParams,
+    state_from_numpy,
+    state_to_numpy,
+)
+from particle_simulator_tpu.io.frame import (
+    DataStructure,
+    Device,
+    Frame,
+)
+from particle_simulator_tpu.physics.bucket import (
+    GridConfig,
+    REFERENCE_GRID,
+    bucketize_numpy,
+    run_frame_bucket,
+)
+from particle_simulator_tpu.physics.step import allpairs_step, run_frame
+
+
+def _accelerator_device():
+    for platform in ("tpu", "axon", "gpu"):
+        try:
+            devs = jax.devices(platform)
+            if devs:
+                return devs[0]
+        except RuntimeError:
+            continue
+    return None
+
+
+def _cpu_device():
+    return jax.devices("cpu")[0] if jax.local_devices(backend="cpu") else jax.devices()[0]
+
+
+def _grid_for(n: int, base: GridConfig) -> GridConfig:
+    """Smallest square power-of-two grid (at the base's bucket capacity) that
+    holds n particles; never smaller than the reference's 64x64."""
+    cfg = base
+    while cfg.capacity < n:
+        cfg = GridConfig(cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap, cfg.move_every)
+    return cfg
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def _run_compact(state: ParticleState, p: SimParams) -> ParticleState:
+    return run_frame(state, p, allpairs_step)
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
+    return run_frame_bucket(state, p)
+
+
+class Simulator:
+    """Holds the device-resident scene and advances it frame by frame."""
+
+    def __init__(self, grid: GridConfig = REFERENCE_GRID):
+        self.base_grid = grid
+        self.grid = grid
+        self.accel = _accelerator_device()
+        self.cpu = _cpu_device()
+        self.state: Optional[ParticleState] = None
+        self.params: Optional[SimParams] = None
+        self.meta_record: Optional[np.ndarray] = None
+        self.data_structure = DataStructure.MATRIX_BUCKETS
+        self.active_device = Device.GPU
+
+    # -- scene / metadata ingest (kernel_prepare_frame analog) -----------------
+    def _target_device(self, requested: Device):
+        if requested == Device.GPU and self.accel is not None:
+            return self.accel, Device.GPU
+        # capability fallback: GPU requested but no accelerator (kernel.cuh:203-205)
+        fallback = Device.CPU_THREAD_POOL if requested == Device.GPU else requested
+        return self.cpu, fallback
+
+    def load_frame(self, frame: Frame) -> None:
+        """Full scene reset from a non-empty editor frame."""
+        meta = frame.metadata
+        self.meta_record = meta.copy()
+        self.data_structure = meta.data_structure
+        jdev, self.active_device = self._target_device(meta.device)
+        # echo the actually-active device in subsequent outbound metadata
+        self.meta_record["device"] = int(self.active_device)
+
+        parts = frame.particles
+        live = parts[parts["ty"] >= 0]
+
+        if self.data_structure == DataStructure.COMPACT_ARRAY:
+            capacity = max(1024, 1 << int(np.ceil(np.log2(max(len(live), 1)))))
+            layout = np.zeros(capacity, dtype=parts.dtype)
+            layout["ty"] = -1
+            layout[: len(live)] = live
+            self.grid = self.base_grid
+            state = state_from_numpy(layout, capacity)
+        else:
+            self.grid = _grid_for(len(live), self.base_grid)
+            layout = bucketize_numpy(live, self.grid)
+            state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
+
+        self.state = jax.device_put(state, jdev)
+        self.params = SimParams.from_record(self.meta_record)
+
+    def update_metadata(self, frame: Frame) -> None:
+        """Metadata-only frame (particle_count == 0): live reconfigure without
+        touching particle state (cuda_simulator.cu:12-14). Data-structure or
+        device switches require a scene frame, as in the reference (the layout
+        lives in the buffers)."""
+        if self.meta_record is None:
+            return
+        new = frame.metadata.copy()
+        # keep active layout/device fields consistent with what's actually running
+        new["data_structure"] = int(self.data_structure)
+        new["device"] = int(self.meta_record["device"])
+        self.meta_record = new
+        self.params = SimParams.from_record(self.meta_record)
+
+    # -- frame stepping ---------------------------------------------------------
+    def frame_async(self) -> None:
+        """Dispatch one frame (steps_per_frame physics steps) on device and
+        return immediately (JAX async dispatch = the reference's run_async)."""
+        if self.state is None:
+            return
+        if self.data_structure == DataStructure.COMPACT_ARRAY:
+            self.state = _run_compact(self.state, self.params)
+        else:
+            self.state = _run_bucket(self.state, self.params)
+
+    def sync(self) -> None:
+        if self.state is not None:
+            jax.block_until_ready(self.state)
+
+    # -- readback ----------------------------------------------------------------
+    def read_frame(self, state: Optional[ParticleState] = None) -> Frame:
+        """Device -> host readback of a state (default: current), compacted and
+        wrapped in a wire frame (frontend.write semantics: tombstones removed
+        before shipping, frontend.hpp:50-56)."""
+        state = self.state if state is None else state
+        parts = state_to_numpy(state)
+        frame = Frame.from_particles(self.meta_record, parts[parts["ty"] >= 0])
+        return frame
+
+    @property
+    def live_count(self) -> int:
+        if self.state is None:
+            return 0
+        return int(np.count_nonzero(state_to_numpy(self.state)["ty"] >= 0))

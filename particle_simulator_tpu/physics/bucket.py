@@ -1,0 +1,239 @@
+"""MatrixBuckets path: uniform-grid cell lists with 3x3-neighborhood forces.
+
+The reference's O(N) data structure (cuda_simulator/src/kernel_bucket.cuh,
+kernel.cuh:14-20): the box is a 2^k x 2^k grid of fixed-capacity buckets; a
+particle's bucket id is the top k bits of each u32 coordinate, so bucketing is a
+bit shift, and forces only consider the 3x3 neighboring buckets. Rebucketing is
+*lazy* (every 16 steps) and *pull-based*: each bucket scans its 3x3 neighborhood
+for particles that now belong to it, keeping the first ``CAP`` in scan order and
+silently dropping overflow (kernel_bucket.cuh:5-39; drop at :30-31).
+
+TPU-native formulation — everything static-shaped and vectorized:
+
+- state lives as ``(BY, BX, CAP)`` SoA grids;
+- the 3x3 gather is 9 shifted views stacked to ``(BY, BX, 9*CAP)`` (a halo pad
+  of tombstones replaces the reference's edge-clamp branches);
+- the force pass is one fused ``(BY, BX, CAP, 9*CAP)`` VPU pair tile;
+- the move pass ranks candidates with a stable argsort over the same scan order
+  the reference uses (y outer, x inner, slot innermost), reproducing its
+  keep-first-CAP overflow semantics exactly;
+- pull-based movement only ever references the 3x3 neighborhood, which is what
+  makes the multi-chip domain decomposition a pure halo-exchange problem
+  (parallel/domain.py).
+
+Grid size and capacity are compile-time config like the reference's #defines,
+but configurable: the reference is fixed at 64x64x16 = 65,536 particles;
+``LARGE_GRID`` (256x256x16) holds 1,048,576.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from particle_simulator_tpu.engine.state import ParticleState, SimParams
+from particle_simulator_tpu.io.frame import PARTICLE_DTYPE
+from particle_simulator_tpu.physics.mie import leapfrog_apply, pair_force_accum
+from particle_simulator_tpu.physics.step import external_forces
+
+
+class GridConfig(NamedTuple):
+    """Compile-time bucket grid config (analog of kernel.cuh:14-20 #defines)."""
+
+    bx_log2: int = 6
+    by_log2: int = 6
+    cap: int = 16
+    move_every: int = 16  # rebucket cadence in steps (kernel_bucket.cuh:184)
+
+    @property
+    def bx(self) -> int:
+        return 1 << self.bx_log2
+
+    @property
+    def by(self) -> int:
+        return 1 << self.by_log2
+
+    @property
+    def buckets(self) -> int:
+        return self.bx * self.by
+
+    @property
+    def capacity(self) -> int:
+        return self.buckets * self.cap
+
+    @property
+    def grid_shape(self) -> tuple[int, int, int]:
+        return (self.by, self.bx, self.cap)
+
+
+REFERENCE_GRID = GridConfig(6, 6, 16)  # 65,536 particles — the reference's max
+LARGE_GRID = GridConfig(8, 8, 16)  # 1,048,576 particles — the 1M target
+
+
+# ---------------------------------------------------------------------------
+# host-side bucketize (scene prep; analog of kernel_prepare_frame,
+# kernel.cuh:200-250)
+# ---------------------------------------------------------------------------
+
+def bucketize_numpy(parts: np.ndarray, cfg: GridConfig) -> np.ndarray:
+    """Scatter a compact PARTICLE_DTYPE array into bucket layout: output has
+    shape (buckets * cap,) where slot b*cap+i holds the i-th particle of bucket
+    b (row-major bucket id = bx + by*BX), tombstone-filled.
+
+    Overflow past ``cap`` per bucket is dropped. (The reference writes past the
+    bucket end instead — an out-of-bounds bug, kernel.cuh:228-229; we keep the
+    documented drop semantics of its steady-state move pass.)
+    """
+    out = np.zeros(cfg.capacity, dtype=PARTICLE_DTYPE)
+    out["ty"] = -1
+
+    live = parts[parts["ty"] >= 0]
+    bx = live["x"] >> np.uint32(32 - cfg.bx_log2)
+    by = live["y"] >> np.uint32(32 - cfg.by_log2)
+    bucket = (bx + by * cfg.bx).astype(np.int64)
+
+    order = np.argsort(bucket, kind="stable")
+    bucket_sorted = bucket[order]
+    # rank within bucket = position since bucket start
+    starts = np.searchsorted(bucket_sorted, bucket_sorted)
+    rank = np.arange(len(bucket_sorted)) - starts
+    keep = rank < cfg.cap
+    out[bucket_sorted[keep] * cfg.cap + rank[keep]] = live[order][keep]
+    return out
+
+
+def state_to_grid(state: ParticleState, cfg: GridConfig) -> ParticleState:
+    return state.reshape(cfg.grid_shape)
+
+
+def grid_to_flat(state: ParticleState) -> ParticleState:
+    return state.reshape((-1,))
+
+
+# ---------------------------------------------------------------------------
+# 3x3 neighborhood gather
+# ---------------------------------------------------------------------------
+
+def _pad_grid(a: jnp.ndarray, fill) -> jnp.ndarray:
+    """Pad the (BY, BX, ...) bucket grid with one halo ring of ``fill``."""
+    pad = [(1, 1), (1, 1)] + [(0, 0)] * (a.ndim - 2)
+    return jnp.pad(a, pad, constant_values=fill)
+
+
+def gather_neighborhood(state: ParticleState) -> ParticleState:
+    """Stack the 3x3 bucket neighborhood: (BY, BX, CAP) -> (BY, BX, 9*CAP).
+
+    Block order matches the reference's scan order (y outer, x inner,
+    slot innermost: kernel_bucket.cuh:18-22) so downstream keep-first-CAP
+    logic reproduces its overflow behavior. Out-of-box neighbors appear as
+    tombstones via the halo pad.
+    """
+    by, bx, cap = state.x.shape
+
+    def stack(a, fill):
+        p = _pad_grid(a, fill)
+        views = [
+            p[1 + dy : 1 + dy + by, 1 + dx : 1 + dx + bx]
+            for dy in (-1, 0, 1)
+            for dx in (-1, 0, 1)
+        ]
+        return jnp.concatenate(views, axis=-1)
+
+    return ParticleState(
+        x=stack(state.x, jnp.uint32(0)),
+        y=stack(state.y, jnp.uint32(0)),
+        vx=stack(state.vx, jnp.float32(0)),
+        vy=stack(state.vy, jnp.float32(0)),
+        ty=stack(state.ty, jnp.int32(-1)),
+    )
+
+
+def _self_pair_mask(cap: int) -> np.ndarray:
+    """(CAP, 9*CAP) mask of i==j pairs: the center block (offset index 4) of the
+    neighborhood stack is the bucket itself."""
+    mask = np.zeros((cap, 9 * cap), dtype=bool)
+    mask[:, 4 * cap : 5 * cap] = np.eye(cap, dtype=bool)
+    return mask
+
+
+# ---------------------------------------------------------------------------
+# step + move
+# ---------------------------------------------------------------------------
+
+def bucket_step(state: ParticleState, p: SimParams) -> ParticleState:
+    """One physics step over the (BY, BX, CAP) grid: cursor + wall + 3x3
+    neighborhood Mie forces, then leapfrog (kernel_bucket.cuh:40-94)."""
+    cap = state.x.shape[-1]
+    nbr = gather_neighborhood(state)
+
+    fx, fy = external_forces(state, p)
+    pfx, pfy = pair_force_accum(
+        state.x, state.y, state.ty,
+        nbr.x, nbr.y, nbr.ty,
+        p, self_mask=jnp.asarray(_self_pair_mask(cap)),
+    )
+    fx = fx + pfx
+    fy = fy + pfy
+
+    nx, ny, nvx, nvy = leapfrog_apply(state.x, state.y, state.vx, state.vy, state.ty, fx, fy, p)
+    return ParticleState(nx, ny, nvx, nvy, state.ty)
+
+
+def bucket_move(state: ParticleState) -> ParticleState:
+    """Pull-based rebucketing (kernel_bucket.cuh:5-39): every bucket collects,
+    from its 3x3 neighborhood, the particles whose coordinate top-bits address
+    it — first CAP in scan order, overflow dropped, rest tombstoned.
+
+    Particles that drifted further than one bucket since the last move are lost
+    (same as the reference). The halo pad bounds movement to the neighborhood,
+    which keeps this pass local for multi-chip sharding.
+    """
+    by, bx, cap = state.x.shape
+    bx_log2 = int(np.log2(bx))
+    by_log2 = int(np.log2(by))
+
+    nbr = gather_neighborhood(state)
+
+    # target bucket of each candidate, from its position bits
+    tgt_bx = (nbr.x >> jnp.uint32(32 - bx_log2)).astype(jnp.int32)
+    tgt_by = (nbr.y >> jnp.uint32(32 - by_log2)).astype(jnp.int32)
+
+    here_bx = jax.lax.broadcasted_iota(jnp.int32, (by, bx, 9 * cap), 1)
+    here_by = jax.lax.broadcasted_iota(jnp.int32, (by, bx, 9 * cap), 0)
+
+    selected = (nbr.ty >= 0) & (tgt_bx == here_bx) & (tgt_by == here_by)
+
+    # stable sort: selected first, preserving scan order == reference's
+    # first-come-first-kept overflow semantics
+    order = jnp.argsort(~selected, axis=-1, stable=True)
+    take = order[..., :cap]
+    n_selected = jnp.sum(selected, axis=-1, keepdims=True)
+    slot_valid = jax.lax.broadcasted_iota(jnp.int32, (by, bx, cap), 2) < n_selected
+
+    def gather(a, fill):
+        g = jnp.take_along_axis(a, take, axis=-1)
+        return jnp.where(slot_valid, g, fill)
+
+    return ParticleState(
+        x=gather(nbr.x, jnp.uint32(0)),
+        y=gather(nbr.y, jnp.uint32(0)),
+        vx=gather(nbr.vx, jnp.float32(0)),
+        vy=gather(nbr.vy, jnp.float32(0)),
+        ty=gather(nbr.ty, jnp.int32(-1)),
+    )
+
+
+def run_frame_bucket(state: ParticleState, p: SimParams, move_every: int = 16) -> ParticleState:
+    """One frame = steps_per_frame bucket steps with a rebucket pass every
+    ``move_every`` steps, scheduled like bucket_kernel_run_async
+    (kernel_bucket.cuh:181-206): first move lands before the 2nd step of the
+    frame, then every 16th step after."""
+
+    def body(i, s):
+        s = jax.lax.cond(i % move_every == 1, bucket_move, lambda t: t, s)
+        return bucket_step(s, p)
+
+    return jax.lax.fori_loop(0, p.steps_per_frame, body, state)

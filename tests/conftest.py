@@ -6,7 +6,9 @@ use XLA's host-platform device virtualization instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The session env presets JAX_PLATFORMS=axon (the remote TPU tunnel); tests must
+# run on local CPU — override unconditionally unless the caller explicitly opts in.
+os.environ["JAX_PLATFORMS"] = os.environ.get("PS_TPU_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
