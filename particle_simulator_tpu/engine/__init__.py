@@ -6,4 +6,13 @@ from particle_simulator_tpu.engine.state import (  # noqa: F401
     state_from_numpy,
     state_to_numpy,
 )
-from particle_simulator_tpu.engine.simulator import Simulator  # noqa: F401
+
+
+def __getattr__(name):
+    # lazy: simulator imports physics.bucket which imports engine.state —
+    # importing it eagerly here would be a circular import
+    if name == "Simulator":
+        from particle_simulator_tpu.engine.simulator import Simulator
+
+        return Simulator
+    raise AttributeError(name)

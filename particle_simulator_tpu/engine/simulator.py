@@ -75,12 +75,15 @@ def _grid_for(n: int, base: GridConfig) -> GridConfig:
     return cfg
 
 
-@functools.partial(jax.jit, donate_argnames=("state",))
+# NOT donated: the engine loop reads back frame k's state while frame k+1
+# computes from it (the reference's compute/readback overlap,
+# cuda_simulator.cu:7-26) — donating would delete the buffer being shipped.
+@jax.jit
 def _run_compact(state: ParticleState, p: SimParams) -> ParticleState:
     return run_frame(state, p, allpairs_step)
 
 
-@functools.partial(jax.jit, donate_argnames=("state",))
+@jax.jit
 def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
     return run_frame_bucket(state, p)
 

@@ -123,32 +123,44 @@ def _pad_grid(a: jnp.ndarray, fill) -> jnp.ndarray:
     return jnp.pad(a, pad, constant_values=fill)
 
 
-def gather_neighborhood(state: ParticleState) -> ParticleState:
-    """Stack the 3x3 bucket neighborhood: (BY, BX, CAP) -> (BY, BX, 9*CAP).
+def pad_tombstone_halo(state: ParticleState) -> ParticleState:
+    """Single-device halo: one ring of tombstone buckets around the grid,
+    (BY, BX, CAP) -> (BY+2, BX+2, CAP). The multi-chip path replaces this with
+    a ppermute halo exchange (parallel/domain.py) — everything downstream is
+    shared between the two."""
+    return ParticleState(
+        x=_pad_grid(state.x, jnp.uint32(0)),
+        y=_pad_grid(state.y, jnp.uint32(0)),
+        vx=_pad_grid(state.vx, jnp.float32(0)),
+        vy=_pad_grid(state.vy, jnp.float32(0)),
+        ty=_pad_grid(state.ty, jnp.int32(-1)),
+    )
+
+
+def stack9(padded: ParticleState) -> ParticleState:
+    """Stack the 3x3 bucket neighborhood of a halo-padded grid:
+    (BY+2, BX+2, CAP) -> (BY, BX, 9*CAP).
 
     Block order matches the reference's scan order (y outer, x inner,
     slot innermost: kernel_bucket.cuh:18-22) so downstream keep-first-CAP
-    logic reproduces its overflow behavior. Out-of-box neighbors appear as
-    tombstones via the halo pad.
+    logic reproduces its overflow behavior.
     """
-    by, bx, cap = state.x.shape
+    by, bx = padded.x.shape[0] - 2, padded.x.shape[1] - 2
 
-    def stack(a, fill):
-        p = _pad_grid(a, fill)
+    def stack(p):
         views = [
-            p[1 + dy : 1 + dy + by, 1 + dx : 1 + dx + bx]
-            for dy in (-1, 0, 1)
-            for dx in (-1, 0, 1)
+            p[dy : dy + by, dx : dx + bx]
+            for dy in (0, 1, 2)
+            for dx in (0, 1, 2)
         ]
         return jnp.concatenate(views, axis=-1)
 
-    return ParticleState(
-        x=stack(state.x, jnp.uint32(0)),
-        y=stack(state.y, jnp.uint32(0)),
-        vx=stack(state.vx, jnp.float32(0)),
-        vy=stack(state.vy, jnp.float32(0)),
-        ty=stack(state.ty, jnp.int32(-1)),
-    )
+    return ParticleState(*(stack(a) for a in padded))
+
+
+def gather_neighborhood(state: ParticleState) -> ParticleState:
+    """3x3 neighborhood stack with out-of-box neighbors as tombstones."""
+    return stack9(pad_tombstone_halo(state))
 
 
 def _self_pair_mask(cap: int) -> np.ndarray:
@@ -163,12 +175,10 @@ def _self_pair_mask(cap: int) -> np.ndarray:
 # step + move
 # ---------------------------------------------------------------------------
 
-def bucket_step(state: ParticleState, p: SimParams) -> ParticleState:
-    """One physics step over the (BY, BX, CAP) grid: cursor + wall + 3x3
+def bucket_step_nbr(state: ParticleState, nbr: ParticleState, p: SimParams) -> ParticleState:
+    """One physics step given a prebuilt 3x3 neighborhood stack: cursor + wall +
     neighborhood Mie forces, then leapfrog (kernel_bucket.cuh:40-94)."""
     cap = state.x.shape[-1]
-    nbr = gather_neighborhood(state)
-
     fx, fy = external_forces(state, p)
     pfx, pfy = pair_force_accum(
         state.x, state.y, state.ty,
@@ -182,27 +192,33 @@ def bucket_step(state: ParticleState, p: SimParams) -> ParticleState:
     return ParticleState(nx, ny, nvx, nvy, state.ty)
 
 
-def bucket_move(state: ParticleState) -> ParticleState:
-    """Pull-based rebucketing (kernel_bucket.cuh:5-39): every bucket collects,
-    from its 3x3 neighborhood, the particles whose coordinate top-bits address
-    it — first CAP in scan order, overflow dropped, rest tombstoned.
+def bucket_step(state: ParticleState, p: SimParams) -> ParticleState:
+    """One physics step over the full (BY, BX, CAP) grid (single device)."""
+    return bucket_step_nbr(state, gather_neighborhood(state), p)
 
-    Particles that drifted further than one bucket since the last move are lost
-    (same as the reference). The halo pad bounds movement to the neighborhood,
-    which keeps this pass local for multi-chip sharding.
+
+def bucket_move_nbr(
+    state: ParticleState,
+    nbr: ParticleState,
+    bx_log2: int,
+    by_log2: int,
+    row_offset=0,
+    col_offset=0,
+) -> ParticleState:
+    """Pull-based rebucketing given the neighborhood stack (kernel_bucket.cuh:5-39).
+
+    ``bx_log2``/``by_log2`` describe the *global* grid (bucket id = coordinate
+    top bits); ``row_offset``/``col_offset`` are this shard's global bucket
+    offsets (0 on a single device).
     """
     by, bx, cap = state.x.shape
-    bx_log2 = int(np.log2(bx))
-    by_log2 = int(np.log2(by))
-
-    nbr = gather_neighborhood(state)
 
     # target bucket of each candidate, from its position bits
     tgt_bx = (nbr.x >> jnp.uint32(32 - bx_log2)).astype(jnp.int32)
     tgt_by = (nbr.y >> jnp.uint32(32 - by_log2)).astype(jnp.int32)
 
-    here_bx = jax.lax.broadcasted_iota(jnp.int32, (by, bx, 9 * cap), 1)
-    here_by = jax.lax.broadcasted_iota(jnp.int32, (by, bx, 9 * cap), 0)
+    here_bx = jax.lax.broadcasted_iota(jnp.int32, (by, bx, 9 * cap), 1) + col_offset
+    here_by = jax.lax.broadcasted_iota(jnp.int32, (by, bx, 9 * cap), 0) + row_offset
 
     selected = (nbr.ty >= 0) & (tgt_bx == here_bx) & (tgt_by == here_by)
 
@@ -223,6 +239,22 @@ def bucket_move(state: ParticleState) -> ParticleState:
         vx=gather(nbr.vx, jnp.float32(0)),
         vy=gather(nbr.vy, jnp.float32(0)),
         ty=gather(nbr.ty, jnp.int32(-1)),
+    )
+
+
+def bucket_move(state: ParticleState) -> ParticleState:
+    """Single-device rebucketing pass over the full (BY, BX, CAP) grid.
+
+    Particles that drifted further than one bucket since the last move are lost
+    (same as the reference). The halo pad bounds movement to the neighborhood,
+    which keeps this pass local for multi-chip sharding.
+    """
+    by, bx, _ = state.x.shape
+    return bucket_move_nbr(
+        state,
+        gather_neighborhood(state),
+        bx_log2=int(np.log2(bx)),
+        by_log2=int(np.log2(by)),
     )
 
 

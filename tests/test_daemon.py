@@ -1,0 +1,140 @@
+"""End-to-end engine-daemon tests: the full editor<->engine protocol loop over
+a real TCP socket, in-process (editor stand-in on the main thread, daemon on a
+worker thread) — the analog of running the reference's two binaries on one
+machine (doc/project.typ:511-520).
+
+Regression anchor: the daemon ships frame k's state while frame k+1 computes
+from it, so the frame runner must NOT donate its input buffers.
+"""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from particle_simulator_tpu.engine.daemon import Frontend, main_loop
+from particle_simulator_tpu.engine.simulator import Simulator
+from particle_simulator_tpu.io.frame import Frame
+from particle_simulator_tpu.io.presets import ParticleLattice
+from particle_simulator_tpu.io.transport import new_tcp_client, new_tcp_server
+from particle_simulator_tpu.physics.bucket import GridConfig
+
+
+def scene_frame(n=8, steps=5):
+    """Sparse lattice: spacing ~4 equilibrium distances so no bucket of the
+    16x16-cap-8 test grid overflows (overflow legitimately drops particles —
+    that behavior is tested in test_bucket.py, not here)."""
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((n, n), distance_factor=4.0, velocity=(0.0, 10.0))
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(0))
+    meta.steps_per_frame = steps
+    return frame
+
+
+def accept_blocking(server, timeout=10.0):
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        conn = server.try_accept()
+        if conn:
+            return conn
+        time.sleep(0.005)
+    raise TimeoutError("engine never connected")
+
+
+def run_daemon(port, max_frames, grid=GridConfig(4, 4, 8)):
+    """Daemon side: connect, wait for scene, run the main loop."""
+    reader, writer = new_tcp_client(("127.0.0.1", port))
+    frontend = Frontend(reader, writer, verbose=False)
+    sim = Simulator(grid)
+    while frontend.is_connected:
+        f = frontend.read()
+        if f is not None and f.particle_count > 0:
+            sim.load_frame(f)
+            break
+        time.sleep(0.001)
+    main_loop(frontend, sim, max_frames=max_frames)
+
+
+def read_frames(reader, want, timeout=60.0):
+    got = []
+    deadline = time.monotonic() + timeout
+    while len(got) < want and time.monotonic() < deadline:
+        f = reader.read()
+        if f is None:
+            time.sleep(0.002)
+            continue
+        got.append(f)
+    return got
+
+
+def test_daemon_ships_live_frames_over_tcp():
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_daemon, args=(server.addr[1], 6), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+
+    scene = scene_frame()
+    assert writer.write(scene)
+
+    frames = read_frames(reader, want=5)
+    assert len(frames) == 5, f"got {len(frames)} frames"
+    for f in frames:
+        assert f.is_valid()
+        assert f.particle_count == scene.particle_count  # no particles lost
+        assert np.isfinite(f.particles["vx"]).all()
+        assert np.isfinite(f.particles["vy"]).all()
+
+    # the simulation actually advances: positions change across frames
+    assert not np.array_equal(frames[0].particles["x"], frames[-1].particles["x"])
+    t.join(timeout=30)
+    server.close()
+
+
+def test_daemon_metadata_only_update_applies_live():
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_daemon, args=(server.addr[1], 8), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+
+    scene = scene_frame()
+    assert writer.write(scene)
+    read_frames(reader, want=2)
+
+    # live reconfigure: cursor moves, dt changes — no scene reset
+    update = Frame.new()
+    update.header["metadata"] = scene.metadata.copy()
+    update.metadata.step_dt = 1e-15
+    update.metadata.cursor_pos = (0.5, 0.5)
+    assert update.particle_count == 0
+    assert writer.write(update)
+
+    later = read_frames(reader, want=3)
+    assert later, "engine died after metadata-only frame"
+    # metadata round-trips on outbound frames
+    assert any(abs(f.metadata.step_dt - 1e-15) < 1e-20 for f in later)
+    # particles were NOT reset
+    assert all(f.particle_count == scene.particle_count for f in later)
+    t.join(timeout=30)
+    server.close()
+
+
+def test_daemon_scene_reset_replaces_particles():
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_daemon, args=(server.addr[1], 8), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+
+    assert writer.write(scene_frame(n=8))
+    read_frames(reader, want=2)
+
+    bigger = scene_frame(n=10)
+    assert writer.write(bigger)
+
+    # soon the stream switches to the new particle count (the reset is echoed
+    # back immediately, reference cuda_simulator.cu:15-21)
+    later = read_frames(reader, want=4)
+    assert any(f.particle_count == bigger.particle_count for f in later)
+    t.join(timeout=30)
+    server.close()

@@ -1,0 +1,149 @@
+"""Multi-chip domain decomposition tests on a virtual 8-device CPU mesh.
+
+The correctness bar: a sharded run over any mesh shape must be bit-identical to
+the single-device bucket path — the halo exchange is exact (full one-bucket
+ring), so no tolerance is needed (SURVEY.md section 4's multi-chip equivalence
+test, the analog of the reference's same-kernel-on-all-devices oracle).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from particle_simulator_tpu.engine.state import SimParams, state_from_numpy, state_to_numpy
+from particle_simulator_tpu.io.frame import Frame
+from particle_simulator_tpu.io.presets import ParticleLattice
+from particle_simulator_tpu.parallel.domain import (
+    exchange_halo,
+    factor_mesh,
+    make_mesh,
+    make_sharded_frame_fn,
+    shard_state,
+)
+from particle_simulator_tpu.physics.bucket import (
+    GridConfig,
+    bucketize_numpy,
+    gather_neighborhood,
+    run_frame_bucket,
+    stack9,
+    state_to_grid,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def scene_grid(cfg: GridConfig, nx=20, ny=20, vel=(0.0, 30.0), seed=3):
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((nx, ny), distance_factor=1.1, velocity=vel)
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(seed))
+    layout = bucketize_numpy(frame.particles, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    params = SimParams.from_record(meta.copy())
+    return state, params
+
+
+def test_factor_mesh():
+    assert factor_mesh(8) == (4, 2)
+    assert factor_mesh(4) == (2, 2)
+    assert factor_mesh(2) == (2, 1)
+    assert factor_mesh(1) == (1, 1)
+    assert factor_mesh(7) == (7, 1)
+    assert factor_mesh(12) == (4, 3)
+
+
+def test_halo_exchange_matches_tombstone_pad_interior():
+    """On a mesh, exchange_halo must reconstruct exactly the neighborhoods the
+    single-device tombstone pad produces — verified via the stacked 3x3 gather
+    over the whole grid."""
+    cfg = GridConfig(4, 4, 4)  # 16x16 grid of 4-cap buckets
+    state, params = scene_grid(cfg, nx=12, ny=12)
+
+    mesh = make_mesh(n_devices=8)
+    ny, nx = mesh.devices.shape
+
+    # single-device neighborhoods
+    ref = gather_neighborhood(state)
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from particle_simulator_tpu.engine.state import ParticleState
+
+    spec = ParticleState(*([P("dy", "dx", None)] * 5))
+    f = shard_map(
+        lambda s: stack9(exchange_halo(s, ny, nx)),
+        mesh=mesh, in_specs=(spec,), out_specs=spec,
+    )
+    got = f(shard_state(state, mesh))
+
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_sharded_frame_matches_single_device(n_devices):
+    """Sharded multi-frame run == single-device run, including the
+    migration/rebucket cadence crossing shard boundaries.
+
+    The halo exchange is exact (every neighborhood sees identical values), but
+    XLA picks a different f32 reduction tree for the sharded tile shape, so
+    live lanes can differ by summation-order ulps — a few fixed-point units
+    over 30 steps. Bucket assignments (ty layout) must agree exactly."""
+    cfg = GridConfig(4, 4, 4, move_every=4)
+    state, params = scene_grid(cfg, nx=14, ny=14, vel=(0.0, 80.0))
+    params = params._replace(steps_per_frame=np.int32(10))
+
+    # single-device: 3 frames
+    ref = state
+    for _ in range(3):
+        ref = run_frame_bucket(ref, params, move_every=cfg.move_every)
+    ref = jax.tree.map(np.asarray, ref)
+
+    mesh = make_mesh(n_devices=n_devices)
+    fn = make_sharded_frame_fn(cfg, mesh, donate=False)
+    got = shard_state(state, mesh)
+    for _ in range(3):
+        got = fn(got, params)
+    got = jax.tree.map(np.asarray, got)
+
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=8)
+    np.testing.assert_allclose(ref.y.astype(np.int64), got.y.astype(np.int64), rtol=0, atol=8)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-3, atol=0.05)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-3, atol=0.05)
+
+
+def test_sharded_migration_across_boundary():
+    """A particle drifting across a shard boundary is pulled by the new owner
+    and dropped by the old one (pull-based migration via halo)."""
+    cfg = GridConfig(4, 4, 4, move_every=2)
+    frame = Frame.new()
+    meta = frame.metadata
+    # one particle near the vertical midline moving right: crosses the dx
+    # shard boundary of a (4,2) mesh. Drift per move interval (2 steps) must
+    # stay under one bucket (1/16 box) or the pull pass drops it — the
+    # reference's own drift bound (kernel_bucket.cuh:30-31).
+    bw = meta.box_width
+    v = 0.125 * bw / (np.float32(meta.step_dt) * 8)  # 2 buckets over 8 steps
+    frame.push(meta.new_particle((bw * 0.49, bw * 0.5), (float(v), 0.0)))
+    layout = bucketize_numpy(frame.particles, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    params = SimParams.from_record(meta.copy())._replace(steps_per_frame=np.int32(8))
+
+    ref = jax.tree.map(np.asarray, run_frame_bucket(state, params, move_every=cfg.move_every))
+
+    mesh = make_mesh(n_devices=8)
+    fn = make_sharded_frame_fn(cfg, mesh, donate=False)
+    got = jax.tree.map(np.asarray, fn(shard_state(state, mesh), params))
+
+    # a single particle feels no pair forces — results are bit-identical
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=f"field {name}")
+    # the particle survived and actually crossed into the right shard half
+    live = np.asarray(got.ty).reshape(-1) >= 0
+    assert live.sum() == 1
+    assert np.asarray(got.x).reshape(-1)[live][0] > np.uint32(0.55 * 2**32)

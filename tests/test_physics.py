@@ -131,8 +131,14 @@ def test_tombstones_are_inert():
         state = step(state, p)
     got_padded = state_to_numpy(state)[: len(parts)]
 
-    np.testing.assert_array_equal(got_exact["x"], got_padded["x"])
-    np.testing.assert_array_equal(got_exact["vx"], got_padded["vx"])
+    # tombstone lanes contribute exactly 0.0 force, but padding changes the
+    # f32 reduction tree XLA picks, so live lanes can differ by a rounding ulp
+    # (amplified to ~1 fixed-point unit over 10 steps) — anything beyond a few
+    # ulps would mean tombstones actually exerted force.
+    np.testing.assert_allclose(
+        got_exact["x"].astype(np.int64), got_padded["x"].astype(np.int64), rtol=0, atol=4
+    )
+    np.testing.assert_allclose(got_exact["vx"], got_padded["vx"], rtol=1e-4, atol=1e-3)
     # tombstones unchanged
     tail = state_to_numpy(state)[len(parts):]
     assert np.all(tail["ty"] == -1)
