@@ -82,6 +82,7 @@ def main(argv=None) -> int:
     import jax
 
     from particle_simulator_tpu.physics.bucket import GridConfig, run_frame_bucket
+    from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
 
     # smallest square power-of-two grid holding the particle target at `fill`/bucket
     k = 2
@@ -93,8 +94,11 @@ def main(argv=None) -> int:
     params = params._replace(steps_per_frame=np.int32(args.steps))
     state = jax.device_put(state, jax.devices()[0])
 
+    # Pallas kernel on the accelerator; jnp path on CPU (where Mosaic can't run)
+    on_tpu = jax.devices()[0].platform != "cpu"
+    runner = run_frame_bucket_pallas if on_tpu else run_frame_bucket
     frame_fn = jax.jit(
-        lambda s, p: run_frame_bucket(s, p, move_every=cfg.move_every),
+        lambda s, p: runner(s, p, move_every=cfg.move_every),
         donate_argnums=(0,),
     )
 

@@ -1,0 +1,296 @@
+"""Pallas TPU kernel for the bucket-path physics step (the hot loop).
+
+The jnp bucket path (physics/bucket.py) is semantically exact but HBM-bound:
+XLA materializes the (BY, BX, 9*CAP) neighborhood stacks in HBM every step.
+This kernel computes the identical step — cursor + wall + 3x3-neighborhood Mie
+forces + leapfrog (reference: kernel_bucket.cuh:40-94, particle.cuh:49-144) —
+entirely in VMEM.
+
+TPU-native layout: the (BY, BX, CAP) grid is viewed as (BY, BX*CAP) so the
+lane axis is a full row of buckets (BX*CAP = 1024 for the reference grid,
+4096 for the 1M grid — perfectly 128-lane aligned, zero padding waste).
+
+Pair enumeration by static lane rolls: a particle at lane i (bucket i//CAP,
+slot i%CAP) must interact with every slot of buckets i//CAP + {-1,0,1} in the
+three bucket rows above/at/below. For a lane shift t, roll(row, -t) aligns
+candidate lane i+t with lane i; the union of needed shifts is
+t in [-(2*CAP-1), 2*CAP-1]. Per (row_offset dy, shift t) pass, a cheap mask
+keeps exactly the pairs whose bucket delta is in {-1,0,1} and that don't cross
+the row boundary — reproducing the jnp path's candidate set exactly
+(144 candidates per particle, self excluded at (dy=0, t=0)).
+
+The y-neighborhood crosses program-block boundaries; each of x/y/ty is passed
+three times with block index maps p-1, p, p+1 (clamped; out-of-grid rows are
+masked in-kernel), so no manual DMA is needed.
+
+Force math uses the log/exp form of the Mie power law:
+    F/r = C*eps*(m*(s/r)^m - n*(s/r)^n) / r^2,   (s/r)^k = exp(k*log(s/r))
+one log + two exp per pair instead of two pow (= 2 log + 2 exp); agreement
+with the jnp path is within f32 rounding (tests use the same ulp envelopes as
+the jnp-vs-oracle comparisons).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from particle_simulator_tpu.engine.state import PARTICLE_MASS, ParticleState, SimParams, U32_MAX_F
+
+F32 = jnp.float32
+
+# params vector layout (SMEM)
+_SIGMA, _EPS, _N, _M, _CURX, _CURY, _CURSZ, _DT, _BW, _BH = range(10)
+_NPARAMS = 10
+
+
+def _params_vector(p: SimParams) -> jnp.ndarray:
+    return jnp.stack(
+        [
+            jnp.asarray(p.sigma, F32),
+            jnp.asarray(p.epsilon, F32),
+            jnp.asarray(p.n, F32),
+            jnp.asarray(p.m, F32),
+            jnp.asarray(p.cursor_x, F32),
+            jnp.asarray(p.cursor_y, F32),
+            jnp.asarray(p.cursor_size, F32),
+            jnp.asarray(p.step_dt, F32),
+            jnp.asarray(p.box_width, F32),
+            jnp.asarray(p.box_height, F32),
+        ]
+    )
+
+
+def _u32_to_f32(v: jnp.ndarray) -> jnp.ndarray:
+    """uint32 -> float32 value conversion (Mosaic has no direct u32->f32 cast):
+    reinterpret as i32, convert, and add 2^32 back for the wrapped half."""
+    i = jax.lax.bitcast_convert_type(v, jnp.int32)
+    f = i.astype(F32)
+    return jnp.where(i < 0, f + F32(4294967296.0), f)
+
+
+def _wrap_dist(a_u32: jnp.ndarray, b_u32: jnp.ndarray, scale) -> jnp.ndarray:
+    """Signed displacement b-a in meters. The u32 wrap-subtraction reinterpreted
+    as i32 gives the signed difference exactly whenever |b-a| < 2^31 — always
+    true for 3x3-bucket neighbors (<= 3/BX of the box); farther (wrapped-lane)
+    candidates are masked out before use (reference math: particle.cuh:33-47)."""
+    d = jax.lax.bitcast_convert_type(b_u32 - a_u32, jnp.int32)
+    return d.astype(F32) * scale
+
+
+def _roll_lanes(a: jnp.ndarray, t: int) -> jnp.ndarray:
+    """roll(a, -t, axis=1) with static t: lane i takes original lane i+t."""
+    L = a.shape[1]
+    k = t % L
+    if k == 0:
+        return a
+    return jnp.concatenate([a[:, k:], a[:, :k]], axis=1)
+
+
+def _step_kernel(
+    params_ref,
+    xm_ref, x_ref, xp_ref,
+    ym_ref, y_ref, yp_ref,
+    tym_ref, ty_ref, typ_ref,
+    vx_ref, vy_ref,
+    ox_ref, oy_ref, ovx_ref, ovy_ref,
+    *, ty_rows: int, by: int, cap: int,
+):
+    p_id = pl.program_id(0)
+    x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
+    L = x0.shape[1]
+
+    sigma = params_ref[_SIGMA]
+    eps = params_ref[_EPS]
+    n = params_ref[_N]
+    m = params_ref[_M]
+    bw = params_ref[_BW]
+    bh = params_ref[_BH]
+    dt = params_ref[_DT]
+    # C = (n/(n-m)) * (n/m)^(m/(n-m))  (particle.cuh:54)
+    C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
+    Ce = C * eps
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
+    slot = lane % cap
+    g_row = p_id.astype(jnp.int32) * ty_rows + row_iota
+
+    live_i = ty0 >= 0
+    xf = _u32_to_f32(x0)
+    yf = _u32_to_f32(y0)
+
+    # ---- cursor force (kernel_bucket.cuh:54-67) ----
+    dxc = params_ref[_CURX] - xf / U32_MAX_F
+    dyc = params_ref[_CURY] - yf / U32_MAX_F
+    sq = dxc * dxc + dyc * dyc
+    inside = sq < params_ref[_CURSZ] * params_ref[_CURSZ] * F32(0.25)
+    mag = F32(8e-12) / (sq + F32(1.0))
+    fx = jnp.where(inside, jnp.where(dxc > F32(0.0), -mag, mag), F32(0.0))
+    fy = jnp.where(inside, jnp.where(dyc > F32(0.0), -mag, mag), F32(0.0))
+
+    # ---- wall force, repulsive-only Mie (particle.cuh:125-144) ----
+    def rep(dist):
+        lsr = jnp.log(sigma / dist)
+        return Ce * m * jnp.exp(m * lsr) / dist
+
+    half = jnp.uint32(2147483647)
+    in_left = x0 < half
+    dist_x = jnp.where(in_left, xf, U32_MAX_F - xf) / U32_MAX_F * bw
+    fx = fx + jnp.where(in_left, F32(1.0), F32(-1.0)) * rep(dist_x)
+    in_bottom = y0 < half
+    dist_y = jnp.where(in_bottom, yf, U32_MAX_F - yf) / U32_MAX_F * bh
+    fy = fy + jnp.where(in_bottom, F32(1.0), F32(-1.0)) * rep(dist_y)
+
+    # ---- 3x3-neighborhood pair forces ----
+    # rows above/below assembled from the neighbor blocks
+    def above(a_m, a):
+        return jnp.concatenate([a_m[ty_rows - 1 :], a[: ty_rows - 1]], axis=0)
+
+    def below(a, a_p):
+        return jnp.concatenate([a[1:], a_p[:1]], axis=0)
+
+    rows = {
+        -1: (above(xm_ref[:], x0), above(ym_ref[:], y0), above(tym_ref[:], ty0)),
+        0: (x0, y0, ty0),
+        1: (below(x0, xp_ref[:]), below(y0, yp_ref[:]), below(ty0, typ_ref[:])),
+    }
+
+    inv_u32_bw = bw / U32_MAX_F
+    inv_u32_bh = bh / U32_MAX_F
+
+    for dy in (-1, 0, 1):
+        cx_row, cy_row, cty_row = rows[dy]
+        row_ok = jnp.logical_and(g_row + dy >= 0, g_row + dy < by)
+        for t in range(-(2 * cap - 1), 2 * cap):
+            if dy == 0 and t == 0:
+                continue  # self pair (kernel loop's j != i)
+            jx = _roll_lanes(cx_row, t)
+            jy = _roll_lanes(cy_row, t)
+            jty = _roll_lanes(cty_row, t)
+
+            # static-shift lane validity: candidate must be in-row and in a
+            # neighboring bucket (numerator offset keeps the floordiv on
+            # non-negative values — integer div semantics differ on negatives)
+            bucket_delta = (slot + (t + 2 * cap)) // cap - 2
+            lane_ok = (
+                (lane + t >= 0)
+                & (lane + t < L)
+                & (bucket_delta >= -1)
+                & (bucket_delta <= 1)
+            )
+            valid = row_ok & lane_ok & (jty >= 0) & live_i
+
+            dx = _wrap_dist(x0, jx, inv_u32_bw)
+            dyy = _wrap_dist(y0, jy, inv_u32_bh)
+
+            d2 = dx * dx + dyy * dyy
+            d2 = jnp.where(valid, d2, F32(1.0))
+            inv_r = jax.lax.rsqrt(d2)
+            lsr = jnp.log(sigma * inv_r)
+            f_over_r = Ce * (m * jnp.exp(m * lsr) - n * jnp.exp(n * lsr)) * (inv_r * inv_r)
+            f_over_r = jnp.where(valid, f_over_r, F32(0.0))
+            fx = fx + f_over_r * dx
+            fy = fy + f_over_r * dyy
+
+    # ---- leapfrog kick-drift in u32 fixed point (particle.cuh:105-123) ----
+    vx0, vy0 = vx_ref[:], vy_ref[:]
+    nvx = vx0 + (fx / PARTICLE_MASS) * dt
+    nvy = vy0 + (fy / PARTICLE_MASS) * dt
+    ddx = jnp.round((nvx * dt / bw) * U32_MAX_F)
+    ddy = jnp.round((nvy * dt / bh) * U32_MAX_F)
+    nx = x0 + jax.lax.bitcast_convert_type(ddx.astype(jnp.int32), jnp.uint32)
+    ny = y0 + jax.lax.bitcast_convert_type(ddy.astype(jnp.int32), jnp.uint32)
+
+    ox_ref[:] = jnp.where(live_i, nx, x0)
+    oy_ref[:] = jnp.where(live_i, ny, y0)
+    ovx_ref[:] = jnp.where(live_i, nvx, vx0)
+    ovy_ref[:] = jnp.where(live_i, nvy, vy0)
+
+
+def _pick_ty_rows(by: int) -> int:
+    for ty in (16, 8, 4, 2):
+        if by % ty == 0 and by >= ty:
+            return ty
+    return by
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bucket_step_pallas(state: ParticleState, p: SimParams, interpret: bool = False) -> ParticleState:
+    """One bucket-path physics step, Pallas TPU kernel. Drop-in replacement for
+    physics.bucket.bucket_step (same candidate set; f32 rounding may differ by
+    summation order)."""
+    by, bx, cap = state.x.shape
+    L = bx * cap
+    ty_rows = _pick_ty_rows(by)
+    n_blocks = by // ty_rows
+
+    def flat(a):
+        return a.reshape(by, L)
+
+    params = _params_vector(p)
+
+    def spec(offset):
+        if offset == 0:
+            return pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if offset < 0:
+            return pl.BlockSpec(
+                (ty_rows, L), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec(
+            (ty_rows, L), lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0), memory_space=pltpu.VMEM
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((by, L), jnp.uint32),
+        jax.ShapeDtypeStruct((by, L), jnp.uint32),
+        jax.ShapeDtypeStruct((by, L), jnp.float32),
+        jax.ShapeDtypeStruct((by, L), jnp.float32),
+    ]
+    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    kernel = functools.partial(_step_kernel, ty_rows=ty_rows, by=by, cap=cap)
+    nx, ny, nvx, nvy = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            spec(-1), spec(0), spec(+1),  # x
+            spec(-1), spec(0), spec(+1),  # y
+            spec(-1), spec(0), spec(+1),  # ty
+            spec(0), spec(0),  # vx, vy
+        ],
+        out_specs=[out_spec] * 4,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        params,
+        flat(state.x), flat(state.x), flat(state.x),
+        flat(state.y), flat(state.y), flat(state.y),
+        flat(state.ty), flat(state.ty), flat(state.ty),
+        flat(state.vx), flat(state.vy),
+    )
+
+    shape = state.x.shape
+    return ParticleState(
+        nx.reshape(shape), ny.reshape(shape), nvx.reshape(shape), nvy.reshape(shape), state.ty
+    )
+
+
+def run_frame_bucket_pallas(
+    state: ParticleState, p: SimParams, move_every: int = 16, interpret: bool = False
+) -> ParticleState:
+    """Whole-frame runner: Pallas step kernel + jnp rebucket pass on the
+    reference cadence (the move runs every 16th step; its jnp cost amortizes)."""
+    from particle_simulator_tpu.physics.bucket import bucket_move
+
+    def body(i, s):
+        s = jax.lax.cond(i % move_every == 1, bucket_move, lambda t: t, s)
+        return bucket_step_pallas(s, p, interpret=interpret)
+
+    return jax.lax.fori_loop(0, p.steps_per_frame, body, state)

@@ -1,0 +1,76 @@
+"""Pallas bucket kernel vs jnp bucket path: same candidate set, same physics,
+f32 rounding within summation-order ulps. Runs the kernel in interpreter mode
+(CPU CI has no Mosaic); the TPU-compiled kernel is exercised by bench.py.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from particle_simulator_tpu.engine.state import SimParams, state_from_numpy, state_to_numpy
+from particle_simulator_tpu.io.frame import Frame
+from particle_simulator_tpu.io.presets import ParticleLattice
+from particle_simulator_tpu.ops.bucket_pallas import bucket_step_pallas, run_frame_bucket_pallas
+from particle_simulator_tpu.physics.bucket import (
+    GridConfig,
+    bucket_step,
+    bucketize_numpy,
+    run_frame_bucket,
+    state_to_grid,
+)
+
+
+def scene(cfg, nx=20, ny=20, vel=(0.0, 30.0), seed=1):
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((nx, ny), distance_factor=1.1, velocity=vel)
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(seed))
+    layout = bucketize_numpy(frame.particles, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    return state, SimParams.from_record(meta.copy())
+
+
+@pytest.mark.parametrize("cfg", [GridConfig(4, 4, 16), GridConfig(3, 3, 8), GridConfig(5, 4, 4)])
+def test_pallas_step_matches_jnp(cfg):
+    state, p = scene(cfg, nx=16, ny=16)
+    ref = jax.tree.map(np.asarray, bucket_step(state, p))
+    got = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
+
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.y.astype(np.int64), got.y.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_step_with_cursor():
+    state, p = scene(GridConfig(4, 4, 16))
+    p = p._replace(cursor_x=np.float32(0.5), cursor_y=np.float32(0.5), cursor_size=np.float32(0.3))
+    ref = jax.tree.map(np.asarray, bucket_step(state, p))
+    got = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_frame_runner_matches_jnp():
+    cfg = GridConfig(4, 4, 8, move_every=4)
+    state, p = scene(cfg, nx=14, ny=14)
+    p = p._replace(steps_per_frame=np.int32(10))
+    ref = jax.tree.map(np.asarray, run_frame_bucket(state, p, move_every=cfg.move_every))
+    got = jax.tree.map(
+        np.asarray,
+        run_frame_bucket_pallas(state, p, move_every=cfg.move_every, interpret=True),
+    )
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=16)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-3, atol=0.05)
+
+
+def test_pallas_tombstones_inert():
+    cfg = GridConfig(4, 4, 16)
+    state, p = scene(cfg, nx=8, ny=8)
+    got = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
+    dead = np.asarray(state.ty) < 0
+    np.testing.assert_array_equal(got.x[dead], np.asarray(state.x)[dead])
+    np.testing.assert_array_equal(got.vx[dead], np.asarray(state.vx)[dead])
