@@ -1,0 +1,155 @@
+"""ctypes binding to the native particle_io C library (native/).
+
+The native library is the compatibility contract for the editor protocol: a
+C-ABI frame codec + transport matching the surface the reference exports
+through cbindgen (reference: particle_io/c_api/). This binding lets the
+Python engine (and tests) drive the exact native code a C/C++ host would
+link — golden-bytes equality between the Python and C++ codecs is enforced
+in tests/test_native_io.py.
+
+The library is built with ``make -C native`` (done lazily by ``load()``).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+from particle_simulator_tpu.io.frame import Frame as PyFrame
+
+_REPO = Path(__file__).resolve().parents[2]
+_NATIVE_DIR = _REPO / "native"
+_LIB_PATH = _NATIVE_DIR / "build" / "libparticle_io_c.so"
+
+
+class CFrame(ctypes.Structure):
+    _fields_ = [
+        ("ptr", ctypes.c_void_p),
+        ("cap", ctypes.c_size_t),
+        ("len", ctypes.c_size_t),
+    ]
+
+
+class CReader(ctypes.Structure):
+    _fields_ = [("opaque", ctypes.c_uint64 * 2)]
+
+
+class CWriter(ctypes.Structure):
+    _fields_ = [("opaque", ctypes.c_uint64 * 2)]
+
+
+class CParticle(ctypes.Structure):
+    _fields_ = [
+        ("x", ctypes.c_uint32),
+        ("y", ctypes.c_uint32),
+        ("vx", ctypes.c_float),
+        ("vy", ctypes.c_float),
+        ("ty", ctypes.c_int32),
+    ]
+
+
+def build(force: bool = False) -> Path:
+    """Build the native library if needed; returns the .so path."""
+    if force or not _LIB_PATH.exists():
+        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+    return _LIB_PATH
+
+
+_lib: Optional[ctypes.CDLL] = None
+
+
+def load() -> ctypes.CDLL:
+    """Load (building if necessary) the native library with typed signatures."""
+    global _lib
+    if _lib is not None:
+        return _lib
+    lib = ctypes.CDLL(str(build()))
+
+    lib.packet_size.restype = ctypes.c_size_t
+    lib.packet_size.argtypes = [ctypes.c_uint32]
+    lib.frame_header_init.argtypes = [ctypes.c_void_p]
+    lib.frame_new.restype = CFrame
+    lib.frame_new.argtypes = [ctypes.c_uint32]
+    lib.frame_destroy.argtypes = [ctypes.POINTER(CFrame)]
+    lib.frame_particles.restype = ctypes.POINTER(CParticle)
+    lib.frame_particles.argtypes = [ctypes.POINTER(CFrame)]
+    lib.frame_metadata.restype = ctypes.c_void_p
+    lib.frame_metadata.argtypes = [ctypes.POINTER(CFrame)]
+    lib.frame_particle_count.restype = ctypes.c_uint32
+    lib.frame_particle_count.argtypes = [ctypes.POINTER(CFrame)]
+    lib.frame_is_valid.restype = ctypes.c_bool
+    lib.frame_is_valid.argtypes = [ctypes.POINTER(CFrame)]
+    lib.frame_push.argtypes = [ctypes.POINTER(CFrame), CParticle]
+    lib.frame_compact.argtypes = [ctypes.POINTER(CFrame)]
+    lib.frame_compact_into.argtypes = [ctypes.POINTER(CFrame), ctypes.POINTER(CFrame)]
+    lib.frame_print.argtypes = [ctypes.POINTER(CFrame)]
+    lib.particle_is_null.restype = ctypes.c_bool
+    lib.particle_is_null.argtypes = [ctypes.POINTER(CParticle)]
+
+    lib.reader_open_file.restype = ctypes.c_bool
+    lib.reader_open_file.argtypes = [ctypes.POINTER(CReader), ctypes.c_char_p]
+    lib.reader_read.restype = ctypes.c_bool
+    lib.reader_read.argtypes = [ctypes.POINTER(CReader), ctypes.POINTER(CFrame)]
+    lib.reader_read_last.restype = ctypes.c_bool
+    lib.reader_read_last.argtypes = [
+        ctypes.POINTER(CReader),
+        ctypes.POINTER(CFrame),
+        ctypes.POINTER(ctypes.c_bool),
+    ]
+    lib.reader_destroy.argtypes = [ctypes.POINTER(CReader)]
+
+    lib.writer_open_file.restype = ctypes.c_bool
+    lib.writer_open_file.argtypes = [ctypes.POINTER(CWriter), ctypes.c_char_p]
+    lib.writer_write.restype = ctypes.c_bool
+    lib.writer_write.argtypes = [ctypes.POINTER(CWriter), ctypes.POINTER(CFrame)]
+    lib.writer_destroy.argtypes = [ctypes.POINTER(CWriter)]
+
+    lib.new_tcp_client.restype = ctypes.c_bool
+    lib.new_tcp_client.argtypes = [
+        ctypes.c_char_p,
+        ctypes.c_uint16,
+        ctypes.POINTER(CReader),
+        ctypes.POINTER(CWriter),
+    ]
+
+    _lib = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        load()
+        return True
+    except (OSError, subprocess.CalledProcessError):
+        return False
+
+
+# -- conversion helpers ------------------------------------------------------
+
+def frame_bytes(frame: CFrame) -> bytes:
+    """Raw packet bytes of a native frame."""
+    return ctypes.string_at(frame.ptr, frame.len)
+
+
+def cframe_from_bytes(data: bytes) -> CFrame:
+    """Native frame from raw packet bytes (allocated by the C library)."""
+    lib = load()
+    # allocate with enough particle capacity, then overwrite the buffer
+    n = max(0, (len(data) - 96) // 20)
+    frame = lib.frame_new(n)
+    ctypes.memmove(frame.ptr, data, len(data))
+    frame.len = len(data)
+    return frame
+
+
+def cframe_from_pyframe(pyframe: PyFrame) -> CFrame:
+    return cframe_from_bytes(pyframe.bytes)
+
+
+def pyframe_from_cframe(frame: CFrame) -> PyFrame:
+    return PyFrame.from_bytes(frame_bytes(frame))

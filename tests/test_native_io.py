@@ -1,0 +1,217 @@
+"""Native C++ particle_io library vs the Python codec: golden-bytes equality,
+compaction semantics, file/TCP transport interop.
+
+These are the cross-implementation tests the reference never had (its Rust and
+C sides shared one implementation via FFI; here the two independent codecs
+check each other byte for byte).
+"""
+
+import ctypes
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from particle_simulator_tpu.io import native
+from particle_simulator_tpu.io.frame import Frame, default_metadata
+from particle_simulator_tpu.io.presets import ParticleLattice
+from particle_simulator_tpu.io.transport import new_tcp_server
+
+pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+
+
+def lattice_frame(n=6):
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((n, n), distance_factor=1.5, velocity=(0.0, 25.0))
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(7))
+    return frame
+
+
+def test_packet_size_matches():
+    lib = native.load()
+    for n in (0, 1, 7, 65536):
+        assert lib.packet_size(n) == 96 + 20 * n
+
+
+def test_default_header_bytes_identical():
+    """frame_header_init must produce byte-identical defaults to the Python
+    codec (and hence to the reference's FrameMetadata::default)."""
+    lib = native.load()
+    cframe = lib.frame_new(0)
+    try:
+        assert lib.frame_is_valid(ctypes.byref(cframe))
+        assert native.frame_bytes(cframe) == Frame.new().bytes
+    finally:
+        lib.frame_destroy(ctypes.byref(cframe))
+
+
+def test_frame_roundtrip_bytes_identical():
+    lib = native.load()
+    py = lattice_frame()
+    cframe = native.cframe_from_pyframe(py)
+    try:
+        assert lib.frame_particle_count(ctypes.byref(cframe)) == py.particle_count
+        assert native.frame_bytes(cframe) == py.bytes
+        back = native.pyframe_from_cframe(cframe)
+        assert np.array_equal(back.particles, py.particles)
+    finally:
+        lib.frame_destroy(ctypes.byref(cframe))
+
+
+def test_frame_push_matches_python():
+    lib = native.load()
+    py = Frame.new()
+    cframe = lib.frame_new(0)
+    try:
+        meta = py.metadata
+        for i in range(5):
+            p = meta.new_particle((i * 1e-9 + 1e-9, 2e-9), (1.0 * i, -2.0), ty=i % 2)
+            py.push(p)
+            lib.frame_push(
+                ctypes.byref(cframe),
+                native.CParticle(int(p["x"]), int(p["y"]), float(p["vx"]), float(p["vy"]), int(p["ty"])),
+            )
+        assert native.frame_bytes(cframe) == py.bytes
+    finally:
+        lib.frame_destroy(ctypes.byref(cframe))
+
+
+def test_compact_matches_python():
+    lib = native.load()
+    py = lattice_frame()
+    py.particles["ty"][::3] = -1  # tombstone a third
+    cframe = native.cframe_from_pyframe(py)
+    try:
+        lib.frame_compact(ctypes.byref(cframe))
+        py.compact()
+        assert native.frame_bytes(cframe) == py.bytes
+    finally:
+        lib.frame_destroy(ctypes.byref(cframe))
+
+
+def test_file_writer_reader_roundtrip(tmp_path):
+    lib = native.load()
+    path = str(tmp_path / "frames.bin").encode()
+
+    frames = [lattice_frame(4), lattice_frame(5), Frame.new()]
+    writer = native.CWriter()
+    assert lib.writer_open_file(ctypes.byref(writer), path)
+    for f in frames:
+        cf = native.cframe_from_pyframe(f)
+        assert lib.writer_write(ctypes.byref(writer), ctypes.byref(cf))
+        lib.frame_destroy(ctypes.byref(cf))
+    lib.writer_destroy(ctypes.byref(writer))
+
+    reader = native.CReader()
+    assert lib.reader_open_file(ctypes.byref(reader), path)
+    out = lib.frame_new(0)
+    try:
+        for f in frames:
+            assert lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+            assert native.frame_bytes(out) == f.bytes
+        # exhausted stream -> disconnect
+        assert not lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+    finally:
+        lib.frame_destroy(ctypes.byref(out))
+        lib.reader_destroy(ctypes.byref(reader))
+
+
+def test_reader_read_last_newest_wins(tmp_path):
+    lib = native.load()
+    path = str(tmp_path / "frames.bin").encode()
+    frames = [lattice_frame(3), lattice_frame(4), lattice_frame(6)]
+    writer = native.CWriter()
+    assert lib.writer_open_file(ctypes.byref(writer), path)
+    for f in frames:
+        cf = native.cframe_from_pyframe(f)
+        lib.writer_write(ctypes.byref(writer), ctypes.byref(cf))
+        lib.frame_destroy(ctypes.byref(cf))
+    lib.writer_destroy(ctypes.byref(writer))
+
+    reader = native.CReader()
+    assert lib.reader_open_file(ctypes.byref(reader), path)
+    out = lib.frame_new(0)
+    got = ctypes.c_bool(False)
+    try:
+        deadline = time.monotonic() + 5
+        while time.monotonic() < deadline:
+            ok = lib.reader_read_last(ctypes.byref(reader), ctypes.byref(out), ctypes.byref(got))
+            if got.value and native.frame_bytes(out) == frames[-1].bytes:
+                return  # newest frame won
+            if not ok and not got.value:
+                pytest.fail("stream ended before newest frame arrived")
+            time.sleep(0.002)
+        pytest.fail("never saw the newest frame")
+    finally:
+        lib.frame_destroy(ctypes.byref(out))
+        lib.reader_destroy(ctypes.byref(reader))
+
+
+def test_tcp_client_against_python_server():
+    """Native TCP client <-> Python editor-side server: scene out, echo back."""
+    lib = native.load()
+    server = new_tcp_server(("127.0.0.1", 0))
+    scene = lattice_frame(5)
+    received = {}
+
+    def editor_side():
+        conn = None
+        deadline = time.monotonic() + 10
+        while conn is None and time.monotonic() < deadline:
+            conn = server.try_accept()
+            time.sleep(0.005)
+        assert conn
+        reader, writer = conn
+        assert writer.write(scene)
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            f = reader.read()
+            if f is not None:
+                received["frame"] = f
+                return
+            time.sleep(0.002)
+
+    t = threading.Thread(target=editor_side, daemon=True)
+    t.start()
+
+    reader = native.CReader()
+    writer = native.CWriter()
+    assert lib.new_tcp_client(
+        b"127.0.0.1", server.addr[1], ctypes.byref(reader), ctypes.byref(writer)
+    )
+    out = lib.frame_new(0)
+    try:
+        assert lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+        assert native.frame_bytes(out) == scene.bytes
+        # echo it back
+        assert lib.writer_write(ctypes.byref(writer), ctypes.byref(out))
+        t.join(timeout=15)
+        assert received["frame"].bytes == scene.bytes
+    finally:
+        lib.frame_destroy(ctypes.byref(out))
+        lib.reader_destroy(ctypes.byref(reader))
+        lib.writer_destroy(ctypes.byref(writer))
+        server.close()
+
+
+def test_corrupt_signature_skipped(tmp_path):
+    """A corrupt header-only packet is skipped with resync on the next packet
+    (reference: reader.rs:34-37)."""
+    lib = native.load()
+    path = tmp_path / "frames.bin"
+    good = lattice_frame(3)
+    bad = bytearray(Frame.new().bytes)
+    bad[0] = 0x00  # break the start signature
+    path.write_bytes(bytes(bad) + good.bytes)
+
+    reader = native.CReader()
+    assert lib.reader_open_file(ctypes.byref(reader), str(path).encode())
+    out = lib.frame_new(0)
+    try:
+        assert lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+        assert native.frame_bytes(out) == good.bytes
+    finally:
+        lib.frame_destroy(ctypes.byref(out))
+        lib.reader_destroy(ctypes.byref(reader))
