@@ -1,0 +1,246 @@
+"""Editor core: playback/interaction state machine over Backend + Timeline.
+
+Headless functional equivalent of the reference editor's ``Editor`` struct
+(particle_editor/src/editor.rs) minus the egui widget tree. Everything the
+GUI surfaced is an API here (the headless CLI and tests drive it; a GUI could
+sit on top unchanged):
+
+- **interactive mode** (editor.rs:223-229): playhead at the live edge AND
+  auto-play AND not looping AND not editing AND >2 frames. Only then do live
+  parameter edits flow to the engine, and only on change (editor.rs:264-270);
+- **tick(wall_dt)** = the per-vsync render pass (editor.rs:231-273): drain
+  engine frames into the timeline, advance the playhead by wall_dt *
+  play_speed (sim seconds per wall second, the log-slider 1e-15..1), send
+  metadata-only updates when interactive;
+- **actions** mirror the keyboard shortcuts (editor.rs:740-790): space =
+  play/pause, arrows = seek, C = clear scene, L = send lattice, D =
+  disconnect;
+- **cursor interaction** (editor.rs:392-431): while the cursor is "down" its
+  normalized position + size ride the metadata; (-1,-1) = no cursor;
+- **editing** pauses playback, applies tool strokes to a copy of the current
+  frame, and "Edit & Resend" ships it as a scene reset (editor.rs:1087-1095)
+  — resume-from-any-frame.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Optional
+
+import numpy as np
+
+from particle_simulator_tpu.editor.backend import Backend
+from particle_simulator_tpu.editor.timeline import Timeline
+from particle_simulator_tpu.editor.tools import Stroke, ToolOptions, apply_stroke
+from particle_simulator_tpu.io.frame import Frame, PARTICLE_DTYPE, default_metadata
+from particle_simulator_tpu.io.presets import ParticleLattice, Preset, Presets
+
+DEFAULT_PLAY_SPEED = 5e-12  # sim seconds per wall second (editor bottom panel)
+
+
+class Editor:
+    def __init__(self, backend: Optional[Backend] = None):
+        self.backend = backend or Backend(tcp=False)
+        self.timeline = Timeline()
+        self.presets = Presets()
+
+        # playback state (editor.rs:108-153)
+        self.play_time = 0.0  # playhead, sim seconds
+        self.auto_play = True
+        self.loop = False
+        self.play_speed = DEFAULT_PLAY_SPEED
+        self.editing = False
+
+        # live-editable simulation parameters (the Parameters panel)
+        self.sim_params = default_metadata()
+        self._last_sent_params: Optional[np.ndarray] = None
+
+        # cursor interaction (editor.rs:392-431)
+        self.cursor_down = False
+
+        # stats surface (editor.rs:1228-1289)
+        self.frames_received = 0
+
+    # -- interactive mode (editor.rs:223-229) ---------------------------------
+    def at_live_edge(self, slack: float = 1e-18) -> bool:
+        return self.play_time >= self.timeline.sim_len() - slack
+
+    def is_interactive(self) -> bool:
+        return (
+            self.at_live_edge()
+            and self.auto_play
+            and not self.loop
+            and not self.editing
+            and self.timeline.frame_count > 2
+        )
+
+    # -- the per-frame pass (editor.rs:231-273) ---------------------------------
+    def tick(self, wall_dt: float) -> int:
+        """Drain engine frames, advance playhead, push live params. Returns the
+        number of frames ingested."""
+        ingested = 0
+        while True:
+            frame = self.backend.read()
+            if frame is None:
+                break
+            self.timeline.push_frame(frame)
+            self.frames_received += 1
+            ingested += 1
+
+        if self.auto_play and not self.editing:
+            if self.is_interactive():
+                self.play_time = self.timeline.sim_len()  # ride the live edge
+            else:
+                self.play_time += wall_dt * self.play_speed
+                end = self.timeline.sim_len()
+                if self.play_time > end:
+                    if self.loop and end > 0:
+                        self.play_time = 0.0
+                    else:
+                        self.play_time = end
+
+        if self.is_interactive():
+            self._maybe_send_params()
+        return ingested
+
+    def _maybe_send_params(self) -> None:
+        """Send a metadata-only frame iff the params changed since the last
+        send (editor.rs:264-270)."""
+        if not self.cursor_down:
+            self.sim_params["cursor_pos"] = (-1.0, -1.0)
+        if (
+            self._last_sent_params is not None
+            and self.sim_params.tobytes() == self._last_sent_params.tobytes()
+        ):
+            return
+        frame = Frame.from_metadata(self.sim_params.copy())
+        assert frame.particle_count == 0
+        self.backend.write(frame)
+        self._last_sent_params = self.sim_params.copy()
+
+    # -- cursor (editor.rs:392-421) ---------------------------------------------
+    def cursor_move(self, nx: float, ny: float, down: bool) -> None:
+        """Normalized [0,1] canvas coordinates; down = button held."""
+        self.cursor_down = down
+        if down:
+            self.sim_params["cursor_pos"] = (nx, ny)
+
+    # -- playback controls (editor.rs:740-790, 1610-1744) -------------------------
+    def toggle_play(self) -> None:
+        self.auto_play = not self.auto_play
+
+    def seek(self, t: float) -> None:
+        self.play_time = max(0.0, min(t, self.timeline.sim_len()))
+
+    def seek_live(self) -> None:
+        """Jump the playhead to the live edge (the timeline's ▶▶ button) —
+        interactive mode engages on the next tick if playing."""
+        self.play_time = self.timeline.sim_len()
+
+    def seek_frames(self, delta_frames: int) -> None:
+        got = self.timeline.frame(self.play_time)
+        if got is None:
+            return
+        frame, exact = got
+        dt = frame.metadata.frame_dt()
+        self.seek(exact + delta_frames * dt)
+
+    def current_frame(self) -> Optional[Frame]:
+        got = self.timeline.frame(self.play_time)
+        return got[0] if got else None
+
+    # -- scene actions (editor.rs:740-790, 928-942) ------------------------------
+    def send_scene(self, frame: Frame) -> None:
+        """Ship a full scene reset and snap the playhead to live."""
+        self.backend.write(frame)
+        self._last_sent_params = None
+
+    def send_lattice(self, nx: int = 50, ny: int = 50, distance_factor: float = 1.1,
+                     velocity=(0.0, 0.0), hex_grid: bool = True,
+                     rng: Optional[np.random.Generator] = None) -> Frame:
+        """The L shortcut / "Hexagonal Square" button: a lattice centered in
+        the box under the current params (editor.rs:928-942; the default
+        interactive scene is 50x50, editor.rs:178-182)."""
+        frame = Frame.from_metadata(self.sim_params.copy())
+        meta = frame.metadata
+        lat = ParticleLattice((nx, ny), distance_factor=distance_factor, velocity=velocity)
+        center = (meta.box_width / 2, meta.box_height / 2)
+        if hex_grid:
+            lat.hex_square(frame, center, rng=rng)
+        else:
+            lat.square(frame, center, rng=rng)
+        self.send_scene(frame)
+        return frame
+
+    def clear_scene(self) -> None:
+        """The C shortcut. A frame with particle_count == 0 would be a
+        metadata-only update, not a reset — so an all-clear ships one tombstone
+        particle, which the engine's scene prep compacts away to an empty
+        scene."""
+        frame = Frame.from_metadata(self.sim_params.copy())
+        tomb = np.zeros(1, dtype=PARTICLE_DTYPE)
+        tomb["ty"] = -1
+        frame.extend(tomb)
+        self.send_scene(frame)
+
+    def disconnect(self) -> None:
+        self.backend.close_connection()
+
+    # -- editing (editor.rs:481-738, 1087-1095) -----------------------------------
+    def begin_editing(self) -> Optional[Frame]:
+        """Pause on the current frame and return an editable copy."""
+        current = self.current_frame()
+        if current is None:
+            frame = Frame.from_metadata(self.sim_params.copy())
+        else:
+            frame = current.copy()
+        self.editing = True
+        self._edit_frame = frame
+        return frame
+
+    def apply_tool(self, stroke: Stroke, options: ToolOptions,
+                   rng: Optional[np.random.Generator] = None) -> int:
+        if not self.editing:
+            self.begin_editing()
+        return apply_stroke(self._edit_frame, stroke, options, rng=rng)
+
+    def resend_current(self) -> None:
+        """"Edit & Resend current": ship the edited frame as a scene reset —
+        resume-from-any-frame (editor.rs:1087-1095)."""
+        if self.editing and self._edit_frame is not None:
+            if self._edit_frame.particle_count == 0:
+                tomb = np.zeros(1, dtype=PARTICLE_DTYPE)
+                tomb["ty"] = -1
+                self._edit_frame.extend(tomb)
+            self.send_scene(self._edit_frame)
+        self.editing = False
+        self._edit_frame = None
+
+    def cancel_editing(self) -> None:
+        self.editing = False
+        self._edit_frame = None
+
+    # -- presets (editor.rs:961-1083) ----------------------------------------------
+    def save_preset(self, name: str) -> None:
+        frame = self.current_frame()
+        if frame is not None:
+            self.presets.add(Preset.from_frame(name, frame))
+
+    def send_preset(self, i: int) -> None:
+        self.send_scene(self.presets[i].to_frame())
+
+    # -- stats (editor.rs:1228-1289) -------------------------------------------------
+    def stats(self) -> dict:
+        frame = self.current_frame()
+        idx = self.timeline.frame_index_at(self.play_time)
+        return {
+            "time": self.play_time,
+            "frame_index": idx,
+            "frame_count": self.timeline.frame_count,
+            "particle_count": frame.particle_count if frame else 0,
+            "data_structure": frame.metadata.data_structure.display_name if frame else None,
+            "device": frame.metadata.device.display_name if frame else None,
+            "timeline_ram": self.timeline.timeline_ram,
+            "interactive": self.is_interactive(),
+            "connection": self.backend.connection_details,
+        }

@@ -1,0 +1,133 @@
+"""Headless particle renderer: frames -> RGB images (PNG/PPM).
+
+Functional equivalent of the reference editor's GPU renderer + shader
+(particle_editor/src/graphics.rs, shader.wgsl), re-targeted at headless
+operation (there is no display attached to a TPU host):
+
+- particles render as discs with a **minimum on-screen size in px**
+  (shader.wgsl:86-87) so single particles stay visible at any zoom;
+- color = blue -> red by ``log2(1 + |v|) / log2(1 + max_speed)``
+  (shader.wgsl:94,100) — the editor's velocity heat map;
+- **velocity extrapolation**: when rendering at a playback time between
+  frames, positions advance by ``vel * (sim_time - frame_time)``
+  (shader.wgsl:96) so playback looks smooth at any frame rate;
+- blend modes Over (overwrite) and Add (additive) (graphics.rs:195-204);
+- null particles are culled (shader.wgsl:73-76).
+
+PNG encoding is dependency-free (zlib + struct from the stdlib).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+from particle_simulator_tpu.io.frame import Frame, U32_MAX
+
+BLUE = np.array([0.2, 0.4, 1.0], dtype=np.float32)
+RED = np.array([1.0, 0.25, 0.15], dtype=np.float32)
+
+
+def velocity_colors(vx: np.ndarray, vy: np.ndarray, max_speed: float) -> np.ndarray:
+    """(n, 3) f32 colors, blue -> red by log-speed (shader.wgsl:94,100)."""
+    speed = np.hypot(vx.astype(np.float64), vy.astype(np.float64))
+    t = np.log2(1.0 + speed) / np.log2(1.0 + max(max_speed, 1e-12))
+    t = np.clip(t, 0.0, 1.0).astype(np.float32)[:, None]
+    return BLUE[None, :] * (1.0 - t) + RED[None, :] * t
+
+
+def render_frame(
+    frame: Frame,
+    width: int = 512,
+    height: int = 512,
+    max_speed: float = 1000.0,
+    min_px: float = 1.5,
+    sim_time: float | None = None,
+    frame_time: float = 0.0,
+    blend: str = "over",
+    background: tuple[float, float, float] = (0.05, 0.05, 0.08),
+) -> np.ndarray:
+    """Render a frame to an (height, width, 3) uint8 image.
+
+    The image maps the full box; y is flipped so +y is up like the editor
+    canvas.
+    """
+    img = np.empty((height, width, 3), dtype=np.float32)
+    img[:] = np.asarray(background, dtype=np.float32)
+
+    parts = frame.particles
+    live = parts["ty"] >= 0
+    parts = parts[live]
+    if len(parts) == 0:
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    meta = frame.metadata
+    x = parts["x"].astype(np.float64) / U32_MAX * meta.box_width
+    y = parts["y"].astype(np.float64) / U32_MAX * meta.box_height
+    vx = parts["vx"].astype(np.float64)
+    vy = parts["vy"].astype(np.float64)
+
+    if sim_time is not None:
+        # velocity extrapolation (shader.wgsl:96)
+        dt = sim_time - frame_time
+        x = x + vx * dt
+        y = y + vy * dt
+
+    px = x / meta.box_width * width
+    py = (1.0 - y / meta.box_height) * height
+
+    # particle radius: physical sigma footprint, but never below min_px
+    r_phys = 0.5 * meta.species(0).sigma / meta.box_width * width
+    radius = max(float(min_px) / 2.0, r_phys)
+
+    colors = velocity_colors(parts["vx"], parts["vy"], max_speed)
+
+    r_int = max(1, int(np.ceil(radius)))
+    ix = np.floor(px).astype(np.int64)
+    iy = np.floor(py).astype(np.int64)
+    add = blend == "add"
+    for dy in range(-r_int, r_int + 1):
+        for dx in range(-r_int, r_int + 1):
+            if dx * dx + dy * dy > (radius + 0.5) ** 2:
+                continue
+            gx = ix + dx
+            gy = iy + dy
+            ok = (gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
+            if add:
+                np.add.at(img, (gy[ok], gx[ok]), colors[ok])
+            else:
+                img[gy[ok], gx[ok]] = colors[ok]
+    return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# dependency-free image writers
+# ---------------------------------------------------------------------------
+
+def write_ppm(path: str, img: np.ndarray) -> None:
+    h, w, _ = img.shape
+    with open(path, "wb") as f:
+        f.write(f"P6\n{w} {h}\n255\n".encode())
+        f.write(img.tobytes())
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Minimal RGB8 PNG encoder (zlib deflate, filter 0)."""
+    h, w, _ = img.shape
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        body = tag + data
+        return struct.pack(">I", len(data)) + body + struct.pack(">I", zlib.crc32(body))
+
+    raw = b"".join(b"\x00" + img[r].tobytes() for r in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+    with open(path, "wb") as f:
+        f.write(payload)
