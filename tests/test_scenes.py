@@ -1,0 +1,75 @@
+"""Scene library tests: phase regimes hold up over a short horizon (CPU)."""
+
+import numpy as np
+import pytest
+
+from particle_simulator_tpu.io.frame import Device, U32_MAX
+from particle_simulator_tpu.scenes.library import (
+    gas_diffusion,
+    liquid_droplet,
+    phase_sweep_frames,
+    run_scene,
+    solid_crystal,
+)
+
+
+def small(builder, n, steps=10):
+    frame = builder(n)
+    frame.metadata.steps_per_frame = steps
+    return frame
+
+
+def positions_nm(frame):
+    m = frame.metadata
+    x = frame.particles["x"].astype(np.float64) / U32_MAX * m.box_width * 1e9
+    y = frame.particles["y"].astype(np.float64) / U32_MAX * m.box_height * 1e9
+    return np.sort(np.stack([x, y], -1), axis=0)  # sorted: order-insensitive
+
+
+def test_scene_builders_have_expected_sizes():
+    assert liquid_droplet().particle_count == 45 * 45
+    assert gas_diffusion().particle_count == 128 * 128
+    assert solid_crystal().particle_count == 256 * 256
+    sweep = phase_sweep_frames(n_side=8)
+    assert len(sweep) == 4
+    assert all(f.particle_count == 64 for _, f in sweep)
+
+
+def test_solid_holds_gas_diffuses():
+    # ~6 ps horizon: gas particles (400 m/s) migrate nm-scale distances even
+    # with collisions; crystal particles (5 m/s) vibrate in place (<0.1 nm).
+    # Phase shows as per-particle displacement, robust against wall bounds.
+    solid = small(solid_crystal, 16, steps=200)
+    gas = small(gas_diffusion, 16, steps=200)
+    s0, g0 = positions_nm(solid), positions_nm(gas)
+
+    from particle_simulator_tpu.engine.simulator import Simulator
+    from particle_simulator_tpu.physics.bucket import GridConfig
+
+    def advance(frame, frames=3):
+        frame.metadata.device = Device.CPU_THREAD_POOL
+        sim = Simulator(GridConfig(4, 4, 8))  # small grid: fast CPU run
+        sim.load_frame(frame)
+        out = None
+        for _ in range(frames):
+            sim.frame_async()
+            out = sim.read_frame()
+        return out
+
+    solid_after = advance(solid)
+    gas_after = advance(gas)
+    assert np.isfinite(solid_after.particles["vx"]).all()
+    assert np.isfinite(gas_after.particles["vx"]).all()
+    solid_disp = np.abs(positions_nm(solid_after) - s0).mean()
+    gas_disp = np.abs(positions_nm(gas_after) - g0).mean()
+    assert solid_disp < 0.2, f"crystal moved {solid_disp} nm"
+    assert gas_disp > 5 * max(solid_disp, 0.01), f"gas only moved {gas_disp} nm"
+
+
+def test_run_scene_stats_and_render(tmp_path):
+    frame = small(liquid_droplet, 10)
+    stats = run_scene(frame, frames=2, render_dir=str(tmp_path), size=64,
+                      device=Device.CPU_THREAD_POOL)
+    assert stats.particles == 100
+    assert stats.frames == 2
+    assert (tmp_path / "frame_00001.png").exists()
