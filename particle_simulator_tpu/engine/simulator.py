@@ -95,6 +95,13 @@ def _run_bucket_pallas(state: ParticleState, p: SimParams) -> ParticleState:
     return run_frame_bucket_pallas(state, p)
 
 
+@jax.jit
+def _run_compact_pallas(state: ParticleState, p: SimParams) -> ParticleState:
+    from particle_simulator_tpu.ops.allpairs_pallas import run_frame_allpairs_pallas
+
+    return run_frame_allpairs_pallas(state, p)
+
+
 class Simulator:
     """Holds the device-resident scene and advances it frame by frame."""
 
@@ -165,7 +172,10 @@ class Simulator:
         if self.state is None:
             return
         if self.data_structure == DataStructure.COMPACT_ARRAY:
-            self.state = _run_compact(self.state, self.params)
+            if self.active_device == Device.GPU:
+                self.state = _run_compact_pallas(self.state, self.params)
+            else:
+                self.state = _run_compact(self.state, self.params)
         elif self.active_device == Device.GPU:
             # accelerator: the Pallas VMEM-resident kernel (ops/bucket_pallas.py)
             self.state = _run_bucket_pallas(self.state, self.params)

@@ -74,3 +74,56 @@ def test_pallas_tombstones_inert():
     dead = np.asarray(state.ty) < 0
     np.testing.assert_array_equal(got.x[dead], np.asarray(state.x)[dead])
     np.testing.assert_array_equal(got.vx[dead], np.asarray(state.vx)[dead])
+
+
+# ---------------------------------------------------------------------------
+# all-pairs (CompactArray) kernel
+# ---------------------------------------------------------------------------
+
+def compact_scene(n_live=100, capacity=128):
+    from particle_simulator_tpu.engine.state import state_from_numpy
+
+    frame = Frame.new()
+    meta = frame.metadata
+    side = int(np.sqrt(n_live))
+    lat = ParticleLattice((side, side), distance_factor=1.1, velocity=(0.0, 30.0))
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(2))
+    state = state_from_numpy(frame.particles, capacity)
+    return state, SimParams.from_record(meta.copy())
+
+
+def test_allpairs_pallas_matches_jnp():
+    from particle_simulator_tpu.ops.allpairs_pallas import allpairs_step_pallas
+    from particle_simulator_tpu.physics.step import allpairs_step
+
+    state, p = compact_scene()
+    ref = jax.tree.map(np.asarray, allpairs_step(state, p))
+    got = jax.tree.map(np.asarray, allpairs_step_pallas(state, p, interpret=True))
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.y.astype(np.int64), got.y.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
+
+
+def test_allpairs_pallas_multi_tile():
+    """capacity > tile: exercises the j-sweep accumulation across grid steps."""
+    from particle_simulator_tpu.ops.allpairs_pallas import allpairs_step_pallas
+    from particle_simulator_tpu.physics.step import allpairs_step
+
+    state, p = compact_scene(n_live=144, capacity=256)
+    ref = jax.tree.map(np.asarray, allpairs_step(state, p))
+    got = jax.tree.map(np.asarray, allpairs_step_pallas(state, p, interpret=True))
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
+
+
+def test_allpairs_pallas_with_cursor():
+    from particle_simulator_tpu.ops.allpairs_pallas import allpairs_step_pallas
+    from particle_simulator_tpu.physics.step import allpairs_step
+
+    state, p = compact_scene()
+    p = p._replace(cursor_x=np.float32(0.5), cursor_y=np.float32(0.5), cursor_size=np.float32(0.3))
+    ref = jax.tree.map(np.asarray, allpairs_step(state, p))
+    got = jax.tree.map(np.asarray, allpairs_step_pallas(state, p, interpret=True))
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
