@@ -213,9 +213,13 @@ def _step_kernel(
     ovy_ref[:] = jnp.where(live_i, nvy, vy0)
 
 
-def _pick_ty_rows(by: int) -> int:
+def _pick_ty_rows(by: int, lanes: int) -> int:
+    """Rows per program block, sized so the ~20 (TY, L) f32 buffers the kernel
+    holds (triple-read x/y/ty, vx/vy, 4 outputs, double-buffered + temps) stay
+    well under the 16 MB VMEM budget: TY*L <= 32k lanes."""
+    budget = max(2, 32768 // lanes)
     for ty in (16, 8, 4, 2):
-        if by % ty == 0 and by >= ty:
+        if ty <= budget and by % ty == 0 and by >= ty:
             return ty
     return by
 
@@ -227,7 +231,7 @@ def bucket_step_pallas(state: ParticleState, p: SimParams, interpret: bool = Fal
     summation order)."""
     by, bx, cap = state.x.shape
     L = bx * cap
-    ty_rows = _pick_ty_rows(by)
+    ty_rows = _pick_ty_rows(by, L)
     n_blocks = by // ty_rows
 
     def flat(a):
@@ -285,12 +289,14 @@ def bucket_step_pallas(state: ParticleState, p: SimParams, interpret: bool = Fal
 def run_frame_bucket_pallas(
     state: ParticleState, p: SimParams, move_every: int = 16, interpret: bool = False
 ) -> ParticleState:
-    """Whole-frame runner: Pallas step kernel + jnp rebucket pass on the
-    reference cadence (the move runs every 16th step; its jnp cost amortizes)."""
-    from particle_simulator_tpu.physics.bucket import bucket_move
+    """Whole-frame runner: Pallas step kernel + global-sort rebucket pass on
+    the reference cadence (every 16th step). The sort-based move is ~2x the
+    pull-based one at 1M and bit-identical; multi-chip keeps the pull pass
+    (a global sort is not shard-local)."""
+    from particle_simulator_tpu.physics.bucket import bucket_move_sorted
 
     def body(i, s):
-        s = jax.lax.cond(i % move_every == 1, bucket_move, lambda t: t, s)
+        s = jax.lax.cond(i % move_every == 1, bucket_move_sorted, lambda t: t, s)
         return bucket_step_pallas(s, p, interpret=interpret)
 
     return jax.lax.fori_loop(0, p.steps_per_frame, body, state)

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from particle_simulator_tpu.engine.state import ParticleState, SimParams
+from particle_simulator_tpu.engine.state import ParticleState, SimParams, empty_state
 from particle_simulator_tpu.io.frame import PARTICLE_DTYPE
 from particle_simulator_tpu.physics.mie import leapfrog_apply, pair_force_accum
 from particle_simulator_tpu.physics.step import external_forces
@@ -256,6 +256,73 @@ def bucket_move(state: ParticleState) -> ParticleState:
         bx_log2=int(np.log2(bx)),
         by_log2=int(np.log2(by)),
     )
+
+
+def bucket_move_sorted(state: ParticleState) -> ParticleState:
+    """Rebucketing by one global key sort — semantics-identical to
+    ``bucket_move`` but O(N log N) over N particles instead of an argsort over
+    the 9x-larger neighborhood stack (~10x less sort work; the fast path for
+    single-chip runs — the pull-based pass remains the multi-chip one, since
+    a global sort isn't shard-local).
+
+    Key = (target_bucket, pull-scan rank), where the scan rank reproduces the
+    reference's pull order exactly: neighborhood blocks in (dy, dx) order,
+    slots ascending within a block (kernel_bucket.cuh:18-22). After the sort,
+    the first CAP particles of each target-bucket segment land in its slots;
+    overflow and >1-bucket drifters are dropped (kernel_bucket.cuh:30-31).
+    """
+    by, bx, cap = state.x.shape
+    bx_log2 = int(np.log2(bx))
+    by_log2 = int(np.log2(by))
+    n = by * bx * cap
+    if n * 9 * cap >= 2**31:
+        raise ValueError("grid too large for int32 sort keys")
+
+    flat = state.reshape((-1,))
+    idx = jnp.arange(n, dtype=jnp.int32)
+    cur_by = idx // (bx * cap)
+    cur_bx = (idx // cap) % bx
+    slot = idx % cap
+
+    tgt_bx = (flat.x >> jnp.uint32(32 - bx_log2)).astype(jnp.int32)
+    tgt_by = (flat.y >> jnp.uint32(32 - by_log2)).astype(jnp.int32)
+
+    dy = cur_by - tgt_by
+    dx = cur_bx - tgt_bx
+    live = flat.ty >= 0
+    pullable = live & (jnp.abs(dy) <= 1) & (jnp.abs(dx) <= 1)
+
+    block = (dy + 1) * 3 + (dx + 1)
+    tgt = tgt_by * bx + tgt_bx
+    key = (tgt * 9 + block) * cap + slot
+    key = jnp.where(pullable, key, jnp.int32(2**31 - 1))  # dropped -> end
+
+    # payloads ride the sort network directly: random-index gathers after a
+    # (key, idx)-only sort measure ~5x slower on TPU than the 8-operand sort
+    key_s, x_s, y_s, vx_s, vy_s, ty_s, tgt_s, ok_s = jax.lax.sort(
+        (key, flat.x, flat.y, flat.vx, flat.vy, flat.ty, tgt, pullable.astype(jnp.int32)),
+        num_keys=1,
+    )
+
+    # rank within each target-bucket segment of the sorted order
+    pos = jnp.arange(n, dtype=jnp.int32)
+    new_seg = jnp.concatenate([jnp.ones(1, bool), tgt_s[1:] != tgt_s[:-1]])
+    seg_start = jax.lax.cummax(jnp.where(new_seg, pos, 0))
+    rank = pos - seg_start
+
+    keep = (ok_s == 1) & (rank < cap)
+    dest = jnp.where(keep, tgt_s * cap + rank, n)  # n = out of bounds -> drop
+
+    out = empty_state((n,))
+    mode = "drop"
+    out = ParticleState(
+        x=out.x.at[dest].set(x_s, mode=mode),
+        y=out.y.at[dest].set(y_s, mode=mode),
+        vx=out.vx.at[dest].set(vx_s, mode=mode),
+        vy=out.vy.at[dest].set(vy_s, mode=mode),
+        ty=out.ty.at[dest].set(ty_s, mode=mode),
+    )
+    return out.reshape((by, bx, cap))
 
 
 def run_frame_bucket(state: ParticleState, p: SimParams, move_every: int = 16) -> ParticleState:

@@ -178,3 +178,25 @@ def test_run_frame_bucket_full_frame():
     assert np.all(np.isfinite(live["vx"]))
     # the droplet did evolve
     assert not np.array_equal(live_sorted(final)["x"], live_sorted(parts)["x"])
+
+
+def test_bucket_move_sorted_matches_pull():
+    """The global-sort rebucket pass is bit-identical to the pull-based one,
+    including overflow-drop and >1-bucket drift-drop semantics."""
+    from particle_simulator_tpu.physics.bucket import bucket_move_sorted
+
+    cfg = GridConfig(4, 4, 8)
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((20, 20), distance_factor=1.3, velocity=(0.0, 400.0))
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(5))
+    layout = bucketize_numpy(frame.particles, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    p = SimParams.from_record(meta.copy())
+    for _ in range(30):
+        state = jax.jit(bucket_step)(state, p)
+
+    a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+    b = jax.tree.map(np.asarray, jax.jit(bucket_move_sorted)(state))
+    for name, u, v in zip(a._fields, a, b):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
