@@ -37,7 +37,34 @@ def main(argv=None) -> int:
     ap.add_argument("--render", default=None, help="directory to write frame PNGs")
     ap.add_argument("--size", type=int, default=512, help="render resolution")
     ap.add_argument("--timeout", type=float, default=300.0)
+    ap.add_argument("--replay", default=None,
+                    help="replay a recorded frame stream file (no TCP, no engine) "
+                         "— the checkpoint/replay path (reference backend files, "
+                         "backend.rs:70-105)")
     args = ap.parse_args(argv)
+
+    if args.replay:
+        from particle_simulator_tpu.io.transport import Disconnected, Reader
+
+        editor = Editor(Backend(tcp=False))
+        reader = Reader.open_file(args.replay)
+        while True:
+            try:
+                frame = reader.read()
+            except Disconnected:
+                break
+            if frame is None:
+                time.sleep(0.001)
+                continue
+            editor.timeline.push_frame(frame)
+        if args.render and editor.timeline.frame_count:
+            os.makedirs(args.render, exist_ok=True)
+            for i in range(editor.timeline.frame_count):
+                img = render_frame(editor.timeline.frame_at_index(i), args.size, args.size)
+                write_png(os.path.join(args.render, f"frame_{i:05d}.png"), img)
+        editor.seek_live()
+        print(json.dumps(editor.stats()))
+        return 0
 
     host, port = args.addr.rsplit(":", 1)
     backend = Backend(addr=(host, int(port)))

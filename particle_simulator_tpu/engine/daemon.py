@@ -78,6 +78,10 @@ class Frontend:
 
 def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None) -> int:
     """The compute_frame loop (cuda_simulator.cu:7-38). Returns frames shipped."""
+    from particle_simulator_tpu.utils.profiling import StepMeter
+
+    meter = StepMeter()
+
     # prime: echo the prepared first scene and dispatch its first frame
     frontend.write(sim.read_frame())
     sim.frame_async()
@@ -98,8 +102,12 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None)
                 shipped += 1
                 continue
 
-        frontend.write(sim.read_frame(prev_state))
+        frame = sim.read_frame(prev_state)
+        frontend.write(frame)
         shipped += 1
+        meter.tick(frame.metadata.steps_per_frame, frame.particle_count)
+        if shipped % 64 == 0:
+            print(f"engine: {meter.report()}", file=sys.stderr)
     return shipped
 
 

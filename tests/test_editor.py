@@ -279,3 +279,36 @@ def test_scientific_format():
 def test_dashed_format():
     f = NumFormatter(NumFormat.DASHED, significant=8)
     assert f.format(1234567.0) == "1_234_567"
+
+
+# ---------------------------------------------------------------------------
+# record/replay (the checkpoint story: the frame stream IS the checkpoint)
+# ---------------------------------------------------------------------------
+
+def test_record_replay_roundtrip(tmp_path):
+    from particle_simulator_tpu.io.transport import Writer
+
+    path = str(tmp_path / "record.bin")
+    writer = Writer.open_file(path)
+    frames = [frame_with(n=3), frame_with(n=4), frame_with(n=5)]
+    for f in frames:
+        assert writer.write(f)
+    writer.close()
+
+    from particle_simulator_tpu.editor import headless
+
+    out = tmp_path / "png"
+    rc = headless.main(["--replay", path, "--render", str(out), "--size", "64"])
+    assert rc == 0
+    assert len(list(out.glob("*.png"))) == 3
+
+
+def test_numfmt_and_meter():
+    from particle_simulator_tpu.utils.profiling import StepMeter
+
+    m = StepMeter()
+    m.tick(100, 1000)
+    m.tick(100, 1000)
+    r = m.report()
+    assert r["total_steps"] == 200
+    assert r["steps_per_sec"] > 0
