@@ -47,6 +47,7 @@ def render_frame(
     sim_time: float | None = None,
     frame_time: float = 0.0,
     blend: str = "over",
+    style: str = "flat",
     background: tuple[float, float, float] = (0.05, 0.05, 0.08),
 ) -> np.ndarray:
     """Render a frame to an (height, width, 3) uint8 image.
@@ -88,17 +89,31 @@ def render_frame(
     ix = np.floor(px).astype(np.int64)
     iy = np.floor(py).astype(np.int64)
     add = blend == "add"
+    light = np.array([-0.5, -0.5, 0.707])  # upper-left light, like shiny_circle
+    light /= np.linalg.norm(light)
     for dy in range(-r_int, r_int + 1):
         for dx in range(-r_int, r_int + 1):
-            if dx * dx + dy * dy > (radius + 0.5) ** 2:
+            rr = dx * dx + dy * dy
+            if rr > (radius + 0.5) ** 2:
                 continue
             gx = ix + dx
             gy = iy + dy
             ok = (gx >= 0) & (gx < width) & (gy >= 0) & (gy < height)
+            c = colors[ok]
+            if style == "shaded":
+                # fake-3D sphere: diffuse + specular from the surface normal
+                # (the editor's "RTX Ultra" shiny_circle, shader.wgsl:179-201)
+                nz = np.sqrt(max(0.0, 1.0 - rr / max(radius * radius, 1.0)))
+                normal = np.array([dx / max(radius, 1.0), -dy / max(radius, 1.0), nz])
+                nn = np.linalg.norm(normal)
+                normal = normal / nn if nn > 0 else normal
+                diff = max(0.15, float(normal @ light))
+                spec = max(0.0, float(normal @ light)) ** 16
+                c = np.clip(c * diff + spec * 0.6, 0.0, 1.0)
             if add:
-                np.add.at(img, (gy[ok], gx[ok]), colors[ok])
+                np.add.at(img, (gy[ok], gx[ok]), c)
             else:
-                img[gy[ok], gx[ok]] = colors[ok]
+                img[gy[ok], gx[ok]] = c
     return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)
 
 

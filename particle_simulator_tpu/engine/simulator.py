@@ -88,11 +88,13 @@ def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
     return run_frame_bucket(state, p)
 
 
-@jax.jit
-def _run_bucket_pallas(state: ParticleState, p: SimParams) -> ParticleState:
+@functools.partial(jax.jit, static_argnames=("block_rows",))
+def _run_bucket_pallas(
+    state: ParticleState, p: SimParams, block_rows: int | None = None
+) -> ParticleState:
     from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
 
-    return run_frame_bucket_pallas(state, p)
+    return run_frame_bucket_pallas(state, p, block_rows=block_rows)
 
 
 @jax.jit
@@ -177,8 +179,14 @@ class Simulator:
             else:
                 self.state = _run_compact(self.state, self.params)
         elif self.active_device == Device.GPU:
-            # accelerator: the Pallas VMEM-resident kernel (ops/bucket_pallas.py)
-            self.state = _run_bucket_pallas(self.state, self.params)
+            # accelerator: the Pallas VMEM-resident kernel (ops/bucket_pallas.py).
+            # gpu_threads_per_block_log2 (the reference's runtime launch-width
+            # tunable, kernel_bucket.cuh:118-121) maps to kernel rows/block:
+            # 2^7 = 128 threads <-> 8 bucket rows. Changing it recompiles once.
+            k = int(self.meta_record["gpu_threads_per_block_log2"])
+            self.state = _run_bucket_pallas(
+                self.state, self.params, block_rows=max(1, 1 << max(0, k - 4))
+            )
         else:
             self.state = _run_bucket(self.state, self.params)
 

@@ -213,25 +213,35 @@ def _step_kernel(
     ovy_ref[:] = jnp.where(live_i, nvy, vy0)
 
 
-def _pick_ty_rows(by: int, lanes: int) -> int:
+def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
     """Rows per program block, sized so the ~20 (TY, L) f32 buffers the kernel
     holds (triple-read x/y/ty, vx/vy, 4 outputs, double-buffered + temps) stay
-    well under the 16 MB VMEM budget: TY*L <= 32k lanes."""
+    well under the 16 MB VMEM budget: TY*L <= 32k lanes.
+
+    ``requested`` is the runtime-tunable analog of the reference's
+    ``gpu_threads_per_block_log2`` launch width (particle_io/src/particle.rs:127,
+    kernel_bucket.cuh:118-121) — honored when it divides the grid and fits
+    the budget.
+    """
     budget = max(2, 32768 // lanes)
-    for ty in (16, 8, 4, 2):
-        if ty <= budget and by % ty == 0 and by >= ty:
+    candidates = (requested,) if requested else ()
+    for ty in (*candidates, 16, 8, 4, 2):
+        if ty and ty <= budget and by % ty == 0 and by >= ty:
             return ty
     return by
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bucket_step_pallas(state: ParticleState, p: SimParams, interpret: bool = False) -> ParticleState:
+@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+def bucket_step_pallas(
+    state: ParticleState, p: SimParams, interpret: bool = False, block_rows: int | None = None
+) -> ParticleState:
     """One bucket-path physics step, Pallas TPU kernel. Drop-in replacement for
     physics.bucket.bucket_step (same candidate set; f32 rounding may differ by
-    summation order)."""
+    summation order). ``block_rows`` tunes the launch width (the
+    gpu_threads_per_block_log2 analog); changing it recompiles."""
     by, bx, cap = state.x.shape
     L = bx * cap
-    ty_rows = _pick_ty_rows(by, L)
+    ty_rows = _pick_ty_rows(by, L, block_rows)
     n_blocks = by // ty_rows
 
     def flat(a):
@@ -287,7 +297,11 @@ def bucket_step_pallas(state: ParticleState, p: SimParams, interpret: bool = Fal
 
 
 def run_frame_bucket_pallas(
-    state: ParticleState, p: SimParams, move_every: int = 16, interpret: bool = False
+    state: ParticleState,
+    p: SimParams,
+    move_every: int = 16,
+    interpret: bool = False,
+    block_rows: int | None = None,
 ) -> ParticleState:
     """Whole-frame runner: Pallas step kernel + global-sort rebucket pass on
     the reference cadence (every 16th step). The sort-based move is ~2x the
@@ -297,6 +311,6 @@ def run_frame_bucket_pallas(
 
     def body(i, s):
         s = jax.lax.cond(i % move_every == 1, bucket_move_sorted, lambda t: t, s)
-        return bucket_step_pallas(s, p, interpret=interpret)
+        return bucket_step_pallas(s, p, interpret=interpret, block_rows=block_rows)
 
     return jax.lax.fori_loop(0, p.steps_per_frame, body, state)

@@ -312,3 +312,11 @@ def test_numfmt_and_meter():
     r = m.report()
     assert r["total_steps"] == 200
     assert r["steps_per_sec"] > 0
+
+
+def test_render_styles_differ():
+    frame = frame_with(n=6)
+    flat = render_frame(frame, 96, 96, style="flat")
+    shaded = render_frame(frame, 96, 96, style="shaded")
+    assert flat.shape == shaded.shape
+    assert (flat != shaded).any()

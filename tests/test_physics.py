@@ -162,3 +162,18 @@ def test_metadata_change_does_not_recompile():
         n_before = run_frame_jit._cache_size()
         s2 = run_frame_jit(s1, p2)
         assert run_frame_jit._cache_size() == n_before, "metadata change recompiled!"
+
+
+def test_precision_report():
+    """The fixed-point-vs-float analysis (reference kernel.cuh:153-197):
+    u32 fixed point must encode the equilibrium distance far more accurately
+    than f32 absolute positions near the far wall, and u64/f64 must be
+    essentially exact."""
+    from particle_simulator_tpu.utils.precision import precision_report
+
+    rep = precision_report()["reps"]
+    assert rep["f64"]["r_rel_err"] < 1e-12
+    assert rep["u64_fixed"]["r_rel_err"] < 1e-9
+    assert rep["u32_fixed"]["r_rel_err"] < 1e-2
+    # f32 absolute encoding at 90% of the box: resolution ~4nm vs r0 ~0.4nm
+    assert rep["f32"]["r_rel_err"] > rep["u32_fixed"]["r_rel_err"]
