@@ -122,9 +122,22 @@ def exchange_halo(state: ParticleState, ny: int, nx: int) -> ParticleState:
 # sharded frame runner
 # ---------------------------------------------------------------------------
 
-def _local_frame(state: ParticleState, p: SimParams, cfg: GridConfig, ny: int, nx: int) -> ParticleState:
+def _local_frame(
+    state: ParticleState,
+    p: SimParams,
+    cfg: GridConfig,
+    ny: int,
+    nx: int,
+    kernel: str = "jnp",
+) -> ParticleState:
     """Per-device body: steps_per_frame physics steps with halo exchange before
-    each step and a migration/rebucket pass on the reference's cadence."""
+    each step and a migration/rebucket pass on the reference's cadence.
+
+    ``kernel="pallas"`` runs the Pallas step kernel on the halo-padded local
+    grid and slices the interior back out — the halo ring's outputs are
+    recomputed waste ((ly+2)(lx+2)/(ly*lx), a few percent at production shard
+    sizes) in exchange for the VMEM-resident force pass on every chip.
+    """
     ly = state.x.shape[0]
     lx = state.x.shape[1]
     row_offset = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * ly
@@ -139,24 +152,40 @@ def _local_frame(state: ParticleState, p: SimParams, cfg: GridConfig, ny: int, n
             row_offset=row_offset, col_offset=col_offset,
         )
 
+    if kernel == "pallas":
+        from particle_simulator_tpu.ops.bucket_pallas import bucket_step_pallas
+
+        interpret = jax.default_backend() != "tpu"
+
+        def step(s):
+            padded = exchange_halo(s, ny, nx)
+            out = bucket_step_pallas(padded, p, interpret=interpret)
+            return ParticleState(*(a[1:-1, 1:-1] for a in out))
+
+    else:
+
+        def step(s):
+            return bucket_step_nbr(s, nbr_of(s), p)
+
     def body(i, s):
         s = jax.lax.cond(i % cfg.move_every == 1, move, lambda t: t, s)
-        return bucket_step_nbr(s, nbr_of(s), p)
+        return step(s)
 
     return jax.lax.fori_loop(0, p.steps_per_frame, body, state)
 
 
-def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True):
+def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True, kernel: str = "jnp"):
     """Build the jitted multi-chip frame runner for a grid config + mesh.
 
     Returns ``fn(state, p) -> state`` where state is (BY, BX, CAP) sharded
-    ``P("dy", "dx", None)`` and p is replicated.
+    ``P("dy", "dx", None)`` and p is replicated. ``kernel`` selects the local
+    step implementation: "jnp" (portable) or "pallas" (TPU VMEM kernel).
     """
     ny, nx = mesh.devices.shape
     if cfg.by % ny or cfg.bx % nx:
         raise ValueError(f"grid {cfg.by}x{cfg.bx} not divisible by mesh {ny}x{nx}")
 
-    body = functools.partial(_local_frame, cfg=cfg, ny=ny, nx=nx)
+    body = functools.partial(_local_frame, cfg=cfg, ny=ny, nx=nx, kernel=kernel)
     sharded = shard_map(
         body,
         mesh=mesh,
@@ -165,5 +194,7 @@ def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True):
             SimParams(*([P()] * len(SimParams._fields))),
         ),
         out_specs=ParticleState(*([P(AXIS_Y, AXIS_X, None)] * 5)),
+        # pallas_call outputs don't carry varying-mesh-axes metadata yet
+        check_vma=False,
     )
     return jax.jit(sharded, donate_argnums=(0,) if donate else ())

@@ -147,3 +147,24 @@ def test_sharded_migration_across_boundary():
     live = np.asarray(got.ty).reshape(-1) >= 0
     assert live.sum() == 1
     assert np.asarray(got.x).reshape(-1)[live][0] > np.uint32(0.55 * 2**32)
+
+
+def test_sharded_pallas_kernel_matches_single_device():
+    """Sharded runner with the Pallas step kernel (interpret mode on the CPU
+    mesh): halo-pad -> kernel -> interior slice must agree with the
+    single-device jnp path within reduction-order ulps."""
+    cfg = GridConfig(4, 4, 4, move_every=4)
+    state, params = scene_grid(cfg, nx=14, ny=14, vel=(0.0, 80.0))
+    params = params._replace(steps_per_frame=np.int32(6))
+
+    ref = jax.tree.map(
+        np.asarray, run_frame_bucket(state, params, move_every=cfg.move_every)
+    )
+
+    mesh = make_mesh(n_devices=4)
+    fn = make_sharded_frame_fn(cfg, mesh, donate=False, kernel="pallas")
+    got = jax.tree.map(np.asarray, fn(shard_state(state, mesh), params))
+
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=8)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-3, atol=0.05)
