@@ -60,6 +60,7 @@ class Editor:
 
         # stats surface (editor.rs:1228-1289)
         self.frames_received = 0
+        self.last_scene: Optional[Frame] = None
 
     # -- interactive mode (editor.rs:223-229) ---------------------------------
     def at_live_edge(self, slack: float = 1e-18) -> bool:
@@ -154,6 +155,7 @@ class Editor:
         """Ship a full scene reset and snap the playhead to live."""
         self.backend.write(frame)
         self._last_sent_params = None
+        self.last_scene = frame.copy()  # for re-send on engine (re)connect
 
     def send_lattice(self, nx: int = 50, ny: int = 50, distance_factor: float = 1.1,
                      velocity=(0.0, 0.0), hex_grid: bool = True,

@@ -135,7 +135,19 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
     return shipped
 
 
+def _pin_platform() -> None:
+    """Honor JAX_PLATFORMS: the TPU tunnel plugin re-selects itself during
+    import regardless of the env var, so pin through jax.config too."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+
 def main(argv=None) -> int:
+    _pin_platform()
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--addr", default="127.0.0.1:53123", help="editor TCP address")
     ap.add_argument("--files", default=None, help="DIR: use DIR/backend_in.bin + DIR/backend_out.bin instead of TCP")

@@ -144,6 +144,14 @@ def run_scene(
 
 
 def main(argv=None) -> int:
+    import os
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # the TPU tunnel plugin overrides the env var; pin via config too
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("scene", choices=sorted(SCENES) + ["phase_sweep"])
     ap.add_argument("--frames", type=int, default=10)

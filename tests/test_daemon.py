@@ -138,3 +138,33 @@ def test_daemon_scene_reset_replaces_particles():
     assert any(f.particle_count == bigger.particle_count for f in later)
     t.join(timeout=30)
     server.close()
+
+
+def test_daemon_data_structure_switch_mid_run():
+    """A scene reset can switch CompactArray <-> MatrixBuckets live
+    (the layout travels in-band; reference cuda_simulator.cu:15-21)."""
+    from particle_simulator_tpu.io.frame import DataStructure
+
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_daemon, args=(server.addr[1], 10), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+
+    scene = scene_frame()
+    scene.metadata.data_structure = DataStructure.MATRIX_BUCKETS
+    assert writer.write(scene)
+    first = read_frames(reader, want=2)
+    assert all(f.metadata.data_structure == DataStructure.MATRIX_BUCKETS for f in first)
+
+    scene2 = scene_frame(n=6)
+    scene2.metadata.data_structure = DataStructure.COMPACT_ARRAY
+    assert writer.write(scene2)
+    later = read_frames(reader, want=4)
+    switched = [f for f in later if f.particle_count == scene2.particle_count]
+    assert switched, "scene reset never took effect"
+    assert all(
+        f.metadata.data_structure == DataStructure.COMPACT_ARRAY for f in switched
+    )
+    assert all(np.isfinite(f.particles["vx"]).all() for f in switched)
+    t.join(timeout=30)
+    server.close()

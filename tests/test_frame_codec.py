@@ -146,3 +146,40 @@ def test_metadata_only_frame_is_96_bytes():
     f = Frame.from_metadata(default_metadata())
     assert len(f.bytes) == 96
     assert f.particle_count == 0
+
+
+def test_codec_fuzz_roundtrip():
+    """Property test: random metadata + random particles survive
+    bytes -> Frame -> bytes exactly (both codec directions)."""
+    import numpy as np
+    from particle_simulator_tpu.io.frame import (
+        Frame,
+        HEADER_DTYPE,
+        PARTICLE_DTYPE,
+        default_metadata,
+        packet_size,
+    )
+
+    rng = np.random.default_rng(123)
+    for _ in range(50):
+        n = int(rng.integers(0, 200))
+        meta = default_metadata()
+        meta["step_dt"] = rng.uniform(1e-16, 1e-13)
+        meta["steps_per_frame"] = int(rng.integers(1, 1000))
+        meta["box_width"] = rng.uniform(1e-9, 1e-6)
+        meta["box_height"] = rng.uniform(1e-9, 1e-6)
+        meta["cursor_pos"] = rng.uniform(-1, 2, 2)
+        parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+        parts["x"] = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        parts["y"] = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        parts["vx"] = rng.normal(0, 1e3, n)
+        parts["vy"] = rng.normal(0, 1e3, n)
+        parts["ty"] = rng.integers(-2, 3, n)
+
+        frame = Frame.from_particles(meta, parts)
+        data = frame.bytes
+        assert len(data) == packet_size(n)
+        back = Frame.from_bytes(data)
+        assert back.is_valid()
+        assert back.bytes == data
+        assert np.array_equal(back.particles, parts)
