@@ -32,9 +32,9 @@ RED = np.array([1.0, 0.25, 0.15], dtype=np.float32)
 
 def velocity_colors(vx: np.ndarray, vy: np.ndarray, max_speed: float) -> np.ndarray:
     """(n, 3) f32 colors, blue -> red by log-speed (shader.wgsl:94,100)."""
-    speed = np.hypot(vx.astype(np.float64), vy.astype(np.float64))
-    t = np.log2(1.0 + speed) / np.log2(1.0 + max(max_speed, 1e-12))
-    t = np.clip(t, 0.0, 1.0).astype(np.float32)[:, None]
+    speed = np.hypot(vx.astype(np.float32), vy.astype(np.float32))
+    t = np.log2(1.0 + speed, dtype=np.float32) / np.float32(np.log2(1.0 + max(max_speed, 1e-12)))
+    t = np.clip(t, 0.0, 1.0)[:, None]
     return BLUE[None, :] * (1.0 - t) + RED[None, :] * t
 
 
@@ -58,37 +58,62 @@ def render_frame(
     img = np.empty((height, width, 3), dtype=np.float32)
     img[:] = np.asarray(background, dtype=np.float32)
 
-    parts = frame.particles
-    live = parts["ty"] >= 0
-    parts = parts[live]
-    if len(parts) == 0:
+    raw = frame.particles
+    live = raw["ty"] >= 0
+    n_live = int(np.count_nonzero(live))
+    if n_live == 0:
         return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+    # per-field views (no 20-byte structured copy of the whole array)
+    all_live = n_live == len(raw)
+    xs = raw["x"] if all_live else raw["x"][live]
+    ys = raw["y"] if all_live else raw["y"][live]
+    vxs = raw["vx"] if all_live else raw["vx"][live]
+    vys = raw["vy"] if all_live else raw["vy"][live]
 
+    # all-f32 pixel math: 24-bit mantissa >> the ~10 bits a canvas needs
     meta = frame.metadata
-    x = parts["x"].astype(np.float64) / U32_MAX * meta.box_width
-    y = parts["y"].astype(np.float64) / U32_MAX * meta.box_height
-    vx = parts["vx"].astype(np.float64)
-    vy = parts["vy"].astype(np.float64)
+    px = xs.astype(np.float32) * np.float32(width / U32_MAX)
+    py = ys.astype(np.float32) * np.float32(height / U32_MAX)
 
     if sim_time is not None:
         # velocity extrapolation (shader.wgsl:96)
         dt = sim_time - frame_time
-        x = x + vx * dt
-        y = y + vy * dt
+        px = px + vxs * np.float32(dt * width / meta.box_width)
+        py = py + vys * np.float32(dt * height / meta.box_height)
 
-    px = x / meta.box_width * width
-    py = (1.0 - y / meta.box_height) * height
+    py = np.float32(height) - py  # +y up, like the editor canvas
 
     # particle radius: physical sigma footprint, but never below min_px
     r_phys = 0.5 * meta.species(0).sigma / meta.box_width * width
     radius = max(float(min_px) / 2.0, r_phys)
 
-    colors = velocity_colors(parts["vx"], parts["vy"], max_speed)
+    colors = velocity_colors(vxs, vys, max_speed)
 
     r_int = max(1, int(np.ceil(radius)))
     ix = np.floor(px).astype(np.int64)
     iy = np.floor(py).astype(np.int64)
     add = blend == "add"
+
+    if n_live > 65536 and style == "flat":
+        # dense fast path (the 1M-particle editor-rate case): particles per
+        # pixel >> 1, so render color-accumulation buffers via bincount — one
+        # vectorized pass instead of per-offset scatters
+        ok = (ix >= 0) & (ix < width) & (iy >= 0) & (iy < height)
+        flat_idx = iy[ok] * width + ix[ok]
+        npix = width * height
+        count = np.bincount(flat_idx, minlength=npix).astype(np.float32)
+        acc = np.empty((npix, 3), np.float32)
+        for c in range(3):
+            acc[:, c] = np.bincount(flat_idx, weights=colors[ok][:, c], minlength=npix)
+        hit = count > 0
+        mean_color = np.zeros((npix, 3), np.float32)
+        mean_color[hit] = acc[hit] / count[hit, None]
+        if add:
+            img = img.reshape(npix, 3) + acc
+        else:
+            img = np.where(hit[:, None], mean_color, img.reshape(npix, 3))
+        return (np.clip(img.reshape(height, width, 3), 0.0, 1.0) * 255.0).astype(np.uint8)
+
     light = np.array([-0.5, -0.5, 0.707])  # upper-left light, like shiny_circle
     light /= np.linalg.norm(light)
     for dy in range(-r_int, r_int + 1):
