@@ -141,7 +141,10 @@ class Preset:
 
 
 class Presets:
-    """A CRUD list of presets (reference: particle_io/src/presets.rs:122-154)."""
+    """A CRUD list of presets (reference: particle_io/src/presets.rs:122-154),
+    with on-disk persistence — the reference keeps presets in the editor's GUI
+    storage; here each preset serializes as a wire-format frame file (the same
+    codec as the transport), so presets double as replayable scene files."""
 
     def __init__(self):
         self._presets: list[Preset] = []
@@ -152,6 +155,9 @@ class Presets:
     def __getitem__(self, i: int) -> Preset:
         return self._presets[i]
 
+    def __iter__(self):
+        return iter(self._presets)
+
     def add(self, preset: Preset) -> None:
         self._presets.append(preset)
 
@@ -161,3 +167,35 @@ class Presets:
     def replace(self, preset: Preset, i: int) -> None:
         if i < len(self._presets):
             self._presets[i] = preset
+
+    # -- persistence -----------------------------------------------------------
+    def save_dir(self, directory) -> None:
+        """Write every preset as ``<index>__<name>.frame`` wire packets."""
+        import os
+        import re
+
+        os.makedirs(directory, exist_ok=True)
+        for f in os.listdir(directory):
+            if f.endswith(".frame"):
+                os.unlink(os.path.join(directory, f))
+        for i, preset in enumerate(self._presets):
+            safe = re.sub(r"[^A-Za-z0-9_.-]", "_", preset.name) or "preset"
+            path = os.path.join(directory, f"{i:03d}__{safe}.frame")
+            with open(path, "wb") as fh:
+                fh.write(preset.to_frame().bytes)
+
+    @staticmethod
+    def load_dir(directory) -> "Presets":
+        import os
+
+        presets = Presets()
+        if not os.path.isdir(directory):
+            return presets
+        for fname in sorted(os.listdir(directory)):
+            if not fname.endswith(".frame"):
+                continue
+            name = fname[:-6].split("__", 1)[-1]
+            with open(os.path.join(directory, fname), "rb") as fh:
+                frame = Frame.from_bytes(fh.read())
+            presets.add(Preset.from_frame(name, frame))
+        return presets

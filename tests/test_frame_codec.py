@@ -183,3 +183,26 @@ def test_codec_fuzz_roundtrip():
         assert back.is_valid()
         assert back.bytes == data
         assert np.array_equal(back.particles, parts)
+
+
+def test_presets_persist_roundtrip(tmp_path):
+    import numpy as np
+    from particle_simulator_tpu.io.frame import Frame
+    from particle_simulator_tpu.io.presets import ParticleLattice, Preset, Presets
+
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((5, 5), distance_factor=1.2, velocity=(0.0, 10.0))
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(0))
+
+    presets = Presets()
+    presets.add(Preset.from_frame("droplet scene", frame))
+    presets.add(Preset.from_frame("empty/odd name!", Frame.new()))
+    presets.save_dir(tmp_path)
+
+    back = Presets.load_dir(tmp_path)
+    assert len(back) == 2
+    assert back[0].name == "droplet_scene" or back[0].name == "droplet scene".replace(" ", "_")
+    assert np.array_equal(back[0].particles, frame.particles)
+    assert back[0].to_frame().bytes == presets[0].to_frame().bytes
+    assert len(back[1].particles) == 0
