@@ -167,12 +167,19 @@ def _step_kernel(
     for dy in (-1, 0, 1):
         cx_row, cy_row, cty_row = rows[dy]
         row_ok = jnp.logical_and(g_row + dy >= 0, g_row + dy < by)
+        ok_i = jnp.logical_and(row_ok, live_i)  # hoisted out of the t loop
+        # stack the three candidate fields along sublanes so each pass needs
+        # ONE lane roll instead of three (lanes are untouched by the stack)
+        stacked = jnp.concatenate(
+            [cx_row, cy_row, jax.lax.bitcast_convert_type(cty_row, jnp.uint32)], axis=0
+        )
         for t in range(-(2 * cap - 1), 2 * cap):
             if dy == 0 and t == 0:
                 continue  # self pair (kernel loop's j != i)
-            jx = _roll_lanes(cx_row, t)
-            jy = _roll_lanes(cy_row, t)
-            jty = _roll_lanes(cty_row, t)
+            rolled = _roll_lanes(stacked, t)
+            jx = rolled[:ty_rows]
+            jy = rolled[ty_rows : 2 * ty_rows]
+            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows :], jnp.int32)
 
             # static-shift lane validity: candidate must be in-row and in a
             # neighboring bucket (numerator offset keeps the floordiv on
@@ -184,7 +191,7 @@ def _step_kernel(
                 & (bucket_delta >= -1)
                 & (bucket_delta <= 1)
             )
-            valid = row_ok & lane_ok & (jty >= 0) & live_i
+            valid = ok_i & lane_ok & (jty >= 0)
 
             dx = _wrap_dist(x0, jx, inv_u32_bw)
             dyy = _wrap_dist(y0, jy, inv_u32_bh)
