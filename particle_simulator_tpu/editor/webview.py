@@ -61,6 +61,25 @@ label { display: block; margin-top: 8px; font-size: 12px; }
     oninput="param('step_dt', this.value * 1e-15)"></label>
   <label>steps/frame <input type="range" id="spf" min="1" max="500" step="1" value="100"
     oninput="param('steps_per_frame', parseInt(this.value))"></label>
+  <label>sigma (A) <input type="range" min="1" max="10" step="0.05" value="3.609"
+    oninput="param('sigma0', this.value * 1e-10)"></label>
+  <label>epsilon (K·kB) <input type="range" min="10" max="500" step="1" value="106"
+    oninput="param('epsilon0', this.value * 1.380649e-23)"></label>
+  <label>n (repulsive) <input type="range" min="7" max="20" step="0.1" value="14.08"
+    oninput="param('n0', parseFloat(this.value))"></label>
+  <label>m (attractive) <input type="range" min="3" max="7" step="0.1" value="6"
+    oninput="param('m0', parseFloat(this.value))"></label>
+  <label>data structure
+    <select onchange="param('data_structure', parseInt(this.value))">
+      <option value="1" selected>Matrix Buckets</option>
+      <option value="0">Compact Array</option>
+    </select></label>
+  <label>device
+    <select onchange="param('device', parseInt(this.value))">
+      <option value="0" selected>TPU</option>
+      <option value="1">CPU Thread Pool</option>
+      <option value="2">CPU Main Thread</option>
+    </select></label>
   <div id="stats"></div>
 </div>
 <canvas id="canvas" width="640" height="640"></canvas>
@@ -151,12 +170,19 @@ class WebEditor:
                 e.seek(float(req.get("value", 1.0)) * e.timeline.sim_len())
 
     def params(self, req: dict) -> None:
+        """Full parameters-panel surface (editor.rs:828-1411): scalars, the
+        per-species Mie sliders (``sigma0``..``m1``), and the enum selectors."""
         with self.lock:
+            sp = self.editor.sim_params
             for name, value in req.items():
                 if name in ("step_dt", "cursor_size", "box_width", "box_height"):
-                    self.editor.sim_params[name] = float(value)
-                elif name == "steps_per_frame":
-                    self.editor.sim_params[name] = int(value)
+                    sp[name] = float(value)
+                elif name in ("steps_per_frame", "data_structure", "device",
+                              "gpu_threads_per_block_log2"):
+                    sp[name] = int(value)
+                elif len(name) > 1 and name[:-1] in ("sigma", "epsilon", "n", "m") \
+                        and name[-1] in "01":
+                    sp["particles"][int(name[-1])][name[:-1]] = float(value)
 
     def cursor(self, req: dict) -> None:
         with self.lock:
