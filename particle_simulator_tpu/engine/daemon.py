@@ -111,10 +111,17 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None)
     return shipped
 
 
-def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0) -> int:
+def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0,
+          n_devices: int | None = None) -> int:
     from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
 
-    sim = Simulator(grid or REFERENCE_GRID)
+    mesh = None
+    if n_devices and n_devices > 1:
+        from particle_simulator_tpu.parallel.domain import make_mesh
+
+        mesh = make_mesh(n_devices=n_devices)
+        print(f"engine: sharding over a {mesh.devices.shape} device mesh", file=sys.stderr)
+    sim = Simulator(grid or REFERENCE_GRID, mesh=mesh)
     frontend = Frontend.connect_tcp(addr, retry_s=retry_s)
     print(f"engine: connected to editor at {addr}", file=sys.stderr)
 
@@ -153,6 +160,9 @@ def main(argv=None) -> int:
     ap.add_argument("--files", default=None, help="DIR: use DIR/backend_in.bin + DIR/backend_out.bin instead of TCP")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--retry-s", type=float, default=10.0, help="keep retrying the connection this long")
+    ap.add_argument("--devices", type=int, default=None,
+                    help="shard the bucket grid over this many chips (spatial "
+                         "domain decomposition; default: single device)")
     args = ap.parse_args(argv)
 
     if args.files:
@@ -167,7 +177,8 @@ def main(argv=None) -> int:
         return 0 if main_loop(frontend, sim, args.max_frames) else 1
 
     host, port = args.addr.rsplit(":", 1)
-    serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s)
+    serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s,
+          n_devices=args.devices)
     return 0
 
 

@@ -105,11 +105,20 @@ def _run_compact_pallas(state: ParticleState, p: SimParams) -> ParticleState:
 
 
 class Simulator:
-    """Holds the device-resident scene and advances it frame by frame."""
+    """Holds the device-resident scene and advances it frame by frame.
 
-    def __init__(self, grid: GridConfig = REFERENCE_GRID):
+    With a ``mesh`` (jax.sharding.Mesh), the MatrixBuckets path runs the
+    spatial domain decomposition (parallel/domain.py): the bucket grid shards
+    over the mesh, halos ride ICI, and ``read_frame``'s device_get gathers
+    the global state to the host (the editor connection lives on host 0,
+    SURVEY.md section 7). CompactArray stays single-device — all-pairs has no
+    spatial locality to shard."""
+
+    def __init__(self, grid: GridConfig = REFERENCE_GRID, mesh=None):
         self.base_grid = grid
         self.grid = grid
+        self.mesh = mesh
+        self._sharded_fns = {}
         self.accel = _accelerator_device()
         self.cpu = _cpu_device()
         self.state: Optional[ParticleState] = None
@@ -145,12 +154,25 @@ class Simulator:
             layout[: len(live)] = live
             self.grid = self.base_grid
             state = state_from_numpy(layout, capacity)
+            self.state = jax.device_put(state, jdev)
         else:
             self.grid = _grid_for(len(live), self.base_grid)
+            if self.mesh is not None:
+                # grow the grid until it tiles the mesh evenly
+                ny, nx = self.mesh.devices.shape
+                while self.grid.by % ny or self.grid.bx % nx:
+                    self.grid = GridConfig(
+                        self.grid.bx_log2 + 1, self.grid.by_log2 + 1,
+                        self.grid.cap, self.grid.move_every,
+                    )
             layout = bucketize_numpy(live, self.grid)
             state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
+            if self.mesh is not None:
+                from particle_simulator_tpu.parallel.domain import shard_state
 
-        self.state = jax.device_put(state, jdev)
+                self.state = shard_state(state, self.mesh)
+            else:
+                self.state = jax.device_put(state, jdev)
         self.params = SimParams.from_record(self.meta_record)
 
     def update_metadata(self, frame: Frame) -> None:
@@ -178,6 +200,17 @@ class Simulator:
                 self.state = _run_compact_pallas(self.state, self.params)
             else:
                 self.state = _run_compact(self.state, self.params)
+        elif self.mesh is not None:
+            # multi-chip spatial domain decomposition (parallel/domain.py)
+            key = (self.grid, self.mesh)
+            fn = self._sharded_fns.get(key)
+            if fn is None:
+                from particle_simulator_tpu.parallel.domain import make_sharded_frame_fn
+
+                kernel = "pallas" if jax.default_backend() == "tpu" else "jnp"
+                fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False, kernel=kernel)
+                self._sharded_fns[key] = fn
+            self.state = fn(self.state, self.params)
         elif self.active_device == Device.GPU:
             # accelerator: the Pallas VMEM-resident kernel (ops/bucket_pallas.py).
             # gpu_threads_per_block_log2 (the reference's runtime launch-width

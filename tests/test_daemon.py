@@ -168,3 +168,43 @@ def test_daemon_data_structure_switch_mid_run():
     assert all(np.isfinite(f.particles["vx"]).all() for f in switched)
     t.join(timeout=30)
     server.close()
+
+
+def test_daemon_sharded_over_mesh():
+    """End-to-end: the engine shards the bucket grid over the virtual 8-device
+    mesh and streams frames over TCP — the multi-chip production topology
+    (editor on host 0, spatial domain decomposition across chips)."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    from particle_simulator_tpu.parallel.domain import make_mesh
+
+    def run_sharded(port, max_frames):
+        reader, writer = new_tcp_client(("127.0.0.1", port))
+        frontend = Frontend(reader, writer, verbose=False)
+        sim = Simulator(GridConfig(4, 4, 8), mesh=make_mesh(n_devices=8))
+        while frontend.is_connected:
+            f = frontend.read()
+            if f is not None and f.particle_count > 0:
+                sim.load_frame(f)
+                break
+            time.sleep(0.001)
+        main_loop(frontend, sim, max_frames=max_frames)
+
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_sharded, args=(server.addr[1], 5), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+    scene = scene_frame()
+    assert writer.write(scene)
+
+    frames = read_frames(reader, want=4)
+    assert len(frames) == 4
+    for f in frames:
+        assert f.particle_count == scene.particle_count
+        assert np.isfinite(f.particles["vx"]).all()
+    assert not np.array_equal(frames[0].particles["x"], frames[-1].particles["x"])
+    t.join(timeout=60)
+    server.close()

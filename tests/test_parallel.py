@@ -168,3 +168,14 @@ def test_sharded_pallas_kernel_matches_single_device():
     np.testing.assert_array_equal(ref.ty, got.ty)
     np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=8)
     np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-3, atol=0.05)
+
+
+def test_multihost_helpers_single_process():
+    """API-level check: no coordinator env -> no-op init, global mesh covers
+    all local devices, this process owns the editor connection."""
+    from particle_simulator_tpu.parallel import multihost
+
+    assert multihost.init_distributed() is False
+    mesh = multihost.global_mesh()
+    assert mesh.devices.size == len(jax.devices())
+    assert multihost.is_frame_owner()
