@@ -83,6 +83,17 @@ def main(argv=None) -> int:
         if not sent_scene and backend.is_connected:
             if args.lattice:
                 nx, ny = (int(v) for v in args.lattice.split("x"))
+                # grow the box when the lattice wouldn't fit at ~60% span
+                # (u32 positions wrap outside the box — a too-small box
+                # aliases the scene into overflowing buckets)
+                from particle_simulator_tpu.io.frame import FrameMetadata, MieParams
+
+                r0 = FrameMetadata(editor.sim_params).species(0).force0_r()
+                span = max(nx, ny) * r0 * args.distance_factor
+                need = span / 0.6
+                if need > float(editor.sim_params["box_width"]):
+                    editor.sim_params["box_width"] = need
+                    editor.sim_params["box_height"] = need
                 editor.send_lattice(
                     nx, ny,
                     distance_factor=args.distance_factor,

@@ -144,13 +144,15 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
 
 def _pin_platform() -> None:
     """Honor JAX_PLATFORMS: the TPU tunnel plugin re-selects itself during
-    import regardless of the env var, so pin through jax.config too."""
+    import regardless of the env var, so pin through jax.config too. Plugin-
+    specific names (e.g. "axon") are left to the plugin's own handling."""
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
+    value = os.environ.get("JAX_PLATFORMS")
+    if value and all(p in ("cpu", "tpu", "gpu", "cuda") for p in value.split(",")):
         import jax
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", value)
 
 
 def main(argv=None) -> int:

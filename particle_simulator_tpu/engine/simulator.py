@@ -66,13 +66,36 @@ def _cpu_device():
     return jax.devices("cpu")[0] if jax.local_devices(backend="cpu") else jax.devices()[0]
 
 
-def _grid_for(n: int, base: GridConfig) -> GridConfig:
-    """Smallest square power-of-two grid (at the base's bucket capacity) that
-    holds n particles; never smaller than the reference's 64x64."""
+def _grid_for(live: np.ndarray, base: GridConfig, box_width: float, r0: float) -> GridConfig:
+    """Density-aware grid selection.
+
+    The reference compiles a fixed 64x64x16 grid and silently drops bucket
+    overflow (kernel.cuh:14-20, kernel_bucket.cuh:30-31). Here the grid is
+    chosen per scene: grow the bucket grid until the actual max per-bucket
+    occupancy fits, but never shrink buckets below ~2 equilibrium distances
+    (the 3x3 neighborhood must cover the interaction range — the reference's
+    own bucket width is ~2 r0); past that floor, grow the bucket capacity
+    instead. Pathologically overlapping scenes stop at cap 256 and drop, like
+    the reference.
+    """
     cfg = base
-    while cfg.capacity < n:
+    while cfg.capacity < len(live):
         cfg = GridConfig(cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap, cfg.move_every)
-    return cfg
+    if len(live) == 0:
+        return cfg
+    while True:
+        bx = (live["x"] >> np.uint32(32 - cfg.bx_log2)).astype(np.int64)
+        by = (live["y"] >> np.uint32(32 - cfg.by_log2)).astype(np.int64)
+        occupancy = np.bincount(by * cfg.bx + bx, minlength=cfg.buckets)
+        if occupancy.max() <= cfg.cap:
+            return cfg
+        bucket_width = box_width / cfg.bx
+        if bucket_width / 2.0 >= 2.0 * r0:
+            cfg = GridConfig(cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap, cfg.move_every)
+        elif cfg.cap < 256:
+            cfg = GridConfig(cfg.bx_log2, cfg.by_log2, cfg.cap * 2, cfg.move_every)
+        else:
+            return cfg  # accept drops (reference semantics)
 
 
 # NOT donated: the engine loop reads back frame k's state while frame k+1
@@ -156,7 +179,9 @@ class Simulator:
             state = state_from_numpy(layout, capacity)
             self.state = jax.device_put(state, jdev)
         else:
-            self.grid = _grid_for(len(live), self.base_grid)
+            self.grid = _grid_for(
+                live, self.base_grid, meta.box_width, meta.species(0).force0_r()
+            )
             if self.mesh is not None:
                 # grow the grid until it tiles the mesh evenly
                 ny, nx = self.mesh.devices.shape

@@ -146,11 +146,13 @@ def run_scene(
 def main(argv=None) -> int:
     import os
 
-    if os.environ.get("JAX_PLATFORMS"):
+    value = os.environ.get("JAX_PLATFORMS")
+    if value and all(p in ("cpu", "tpu", "gpu", "cuda") for p in value.split(",")):
         # the TPU tunnel plugin overrides the env var; pin via config too
+        # (plugin-specific names are left to the plugin)
         import jax
 
-        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+        jax.config.update("jax_platforms", value)
 
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("scene", choices=sorted(SCENES) + ["phase_sweep"])

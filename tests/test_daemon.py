@@ -208,3 +208,28 @@ def test_daemon_sharded_over_mesh():
     assert not np.array_equal(frames[0].particles["x"], frames[-1].particles["x"])
     t.join(timeout=60)
     server.close()
+
+
+def test_grid_selection_is_density_aware():
+    """A dense scene must not silently drop most of its particles: the engine
+    grows the grid (finer buckets, then deeper buckets past the physics
+    floor) until the scene fits."""
+    from particle_simulator_tpu.io.frame import MieParams
+
+    frame = Frame.new()
+    meta = frame.metadata
+    r0 = MieParams.nitrogen().force0_r()
+    # 100x100 lattice at 1.05 r0 spacing, box sized so the lattice covers
+    # only ~36% of the box area: per-bucket occupancy at 64x64 would overflow
+    n = 100
+    span = n * r0 * 1.05
+    meta.box_width = span / 0.6
+    meta.box_height = span / 0.6
+    lat = ParticleLattice((n, n), distance_factor=1.05, velocity=(0.0, 0.0))
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2), rng=np.random.default_rng(0))
+
+    sim = Simulator()
+    sim.load_frame(frame)
+    assert sim.live_count == n * n, f"dropped {n*n - sim.live_count} particles"
+    # and the bucket width stayed at/above the physics floor
+    assert meta.box_width / sim.grid.bx >= 2.0 * r0 or sim.grid.cap > 16
