@@ -303,6 +303,153 @@ def bucket_step_pallas(
     )
 
 
+def _place_kernel(
+    xm_ref, x_ref, xp_ref,
+    ym_ref, y_ref, yp_ref,
+    tym_ref, ty_ref, typ_ref,
+    vxm_ref, vx_ref, vxp_ref,
+    vym_ref, vy_ref, vyp_ref,
+    rkm_ref, rk_ref, rkp_ref,
+    ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
+    *, ty_rows: int, by: int, bx: int, cap: int, bx_log2: int, by_log2: int,
+):
+    """Rebucket placement: each output slot pulls the (unique) candidate in
+    its 3x3 neighborhood whose precomputed destination is this slot. Same
+    roll-enumeration structure as the force kernel; ~10 select ops per
+    candidate instead of an XLA scatter (which costs ~30 ms at 1M)."""
+    p_id = pl.program_id(0)
+    L = x_ref.shape[1]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
+    my_by = p_id.astype(jnp.int32) * ty_rows + row_iota  # global bucket row
+    my_bx = lane // cap
+    my_slot = lane % cap
+
+    def above(a_m, a):
+        return jnp.concatenate([a_m[ty_rows - 1 :], a[: ty_rows - 1]], axis=0)
+
+    def below(a, a_p):
+        return jnp.concatenate([a[1:], a_p[:1]], axis=0)
+
+    # start from an all-tombstone layout; accumulate THROUGH the output refs
+    # (value-carried accumulators keep hundreds of pass intermediates live and
+    # blow the VMEM stack)
+    ox_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
+    oy_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
+    ovx_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
+    ovy_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
+    oty_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
+
+    fields0 = (x_ref[:], y_ref[:], ty_ref[:], vx_ref[:], vy_ref[:], rk_ref[:])
+    fields_m = (xm_ref[:], ym_ref[:], tym_ref[:], vxm_ref[:], vym_ref[:], rkm_ref[:])
+    fields_p = (xp_ref[:], yp_ref[:], typ_ref[:], vxp_ref[:], vyp_ref[:], rkp_ref[:])
+
+    for dy in (-1, 0, 1):
+        if dy == -1:
+            cx, cy, cty, cvx, cvy, crk = (above(m, c) for m, c in zip(fields_m, fields0))
+        elif dy == 0:
+            cx, cy, cty, cvx, cvy, crk = fields0
+        else:
+            cx, cy, cty, cvx, cvy, crk = (below(c, p) for c, p in zip(fields0, fields_p))
+        row_ok = jnp.logical_and(my_by + dy >= 0, my_by + dy < by)
+        # one roll per pass: stack the six 32-bit fields along sublanes
+        stacked = jnp.concatenate(
+            [
+                cx, cy,
+                jax.lax.bitcast_convert_type(cty, jnp.uint32),
+                jax.lax.bitcast_convert_type(cvx, jnp.uint32),
+                jax.lax.bitcast_convert_type(cvy, jnp.uint32),
+                jax.lax.bitcast_convert_type(crk, jnp.uint32),
+            ],
+            axis=0,
+        )
+        for t in range(-(2 * cap - 1), 2 * cap):
+            rolled = _roll_lanes(stacked, t)
+            jx = rolled[:ty_rows]
+            jy = rolled[ty_rows : 2 * ty_rows]
+            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
+            jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
+            jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
+            jrk = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+
+            tgt_bx = jax.lax.shift_right_logical(jx, jnp.uint32(32 - bx_log2)).astype(jnp.int32)
+            tgt_by = jax.lax.shift_right_logical(jy, jnp.uint32(32 - by_log2)).astype(jnp.int32)
+            match = (
+                row_ok
+                & (jrk == my_slot)  # rank encodes keep: dropped = -1
+                & (tgt_bx == my_bx)
+                & (tgt_by == my_by)
+            )
+            ox_ref[:] = jnp.where(match, jx, ox_ref[:])
+            oy_ref[:] = jnp.where(match, jy, oy_ref[:])
+            ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
+            ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
+            oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> ParticleState:
+    """Rebucketing pass, fully on-chip: destinations computed directly
+    (physics.bucket.move_dest_direct, no sort) and placed by the pull-place
+    kernel (no XLA scatter). Bit-identical to bucket_move."""
+    from particle_simulator_tpu.physics.bucket import move_dest_direct
+
+    by, bx, cap = state.x.shape
+    L = bx * cap
+    ty_rows = _pick_ty_rows(by, L)
+    n_blocks = by // ty_rows
+    n = by * bx * cap
+
+    dest, keep = move_dest_direct(state)
+    # rank per slot; -1 = not placed anywhere (dropped/dead)
+    rank = jnp.where(keep, dest % cap, -1).astype(jnp.int32).reshape(by, L)
+
+    def flat(a):
+        return a.reshape(by, L)
+
+    def spec(offset):
+        if offset == 0:
+            return pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        if offset < 0:
+            return pl.BlockSpec(
+                (ty_rows, L), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+            )
+        return pl.BlockSpec(
+            (ty_rows, L), lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0), memory_space=pltpu.VMEM
+        )
+
+    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(
+        _place_kernel, ty_rows=ty_rows, by=by, bx=bx, cap=cap,
+        bx_log2=int(np.log2(bx)), by_log2=int(np.log2(by)),
+    )
+    triplet = lambda a: (flat(a), flat(a), flat(a))
+    nx, ny, nvx, nvy, nty = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[spec(o) for _ in range(6) for o in (-1, 0, +1)],
+        out_specs=[out_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((by, L), jnp.uint32),
+            jax.ShapeDtypeStruct((by, L), jnp.uint32),
+            jax.ShapeDtypeStruct((by, L), jnp.float32),
+            jax.ShapeDtypeStruct((by, L), jnp.float32),
+            jax.ShapeDtypeStruct((by, L), jnp.int32),
+        ],
+        interpret=interpret,
+    )(
+        *triplet(state.x), *triplet(state.y), *triplet(state.ty),
+        *triplet(state.vx), *triplet(state.vy), *triplet(rank),
+    )
+
+    shape = state.x.shape
+    return ParticleState(
+        nx.reshape(shape), ny.reshape(shape), nvx.reshape(shape),
+        nvy.reshape(shape), nty.reshape(shape),
+    )
+
+
 def run_frame_bucket_pallas(
     state: ParticleState,
     p: SimParams,
@@ -310,14 +457,16 @@ def run_frame_bucket_pallas(
     interpret: bool = False,
     block_rows: int | None = None,
 ) -> ParticleState:
-    """Whole-frame runner: Pallas step kernel + global-sort rebucket pass on
-    the reference cadence (every 16th step). The sort-based move is ~2x the
-    pull-based one at 1M and bit-identical; multi-chip keeps the pull pass
-    (a global sort is not shard-local)."""
-    from particle_simulator_tpu.physics.bucket import bucket_move_sorted
+    """Whole-frame runner: Pallas step kernel + Pallas rebucket pass on the
+    reference cadence (every 16th step). The pull-place move kernel is
+    bit-identical to bucket_move and ~3x the sort-based pass at 1M (no XLA
+    scatter); multi-chip keeps the shard-local jnp pull pass."""
+
+    def move(s):
+        return bucket_move_pallas(s, interpret=interpret)
 
     def body(i, s):
-        s = jax.lax.cond(i % move_every == 1, bucket_move_sorted, lambda t: t, s)
+        s = jax.lax.cond(i % move_every == 1, move, lambda t: t, s)
         return bucket_step_pallas(s, p, interpret=interpret, block_rows=block_rows)
 
     return jax.lax.fori_loop(0, p.steps_per_frame, body, state)

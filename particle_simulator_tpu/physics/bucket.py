@@ -258,6 +258,81 @@ def bucket_move(state: ParticleState) -> ParticleState:
     )
 
 
+def move_dest_direct(state: ParticleState):
+    """Destination slot of every particle under the reference's pull order,
+    computed directly — no global sort or scan.
+
+    rank(p) within its target bucket = (number of particles in earlier scan
+    blocks targeting the same bucket) + (number of earlier slots in p's own
+    source bucket targeting the same bucket). The per-block counts are
+    (BY, BX) maps connected by static spatial shifts — everything is
+    elementwise + tiny cap-axis cumsums, fully fusable.
+
+    Returns (dest, keep): flat slot index (target*CAP + rank) and the
+    keep mask (pullable & rank < CAP & live). Semantics identical to
+    bucket_move / bucket_move_sorted (overflow and >1-bucket drift drop).
+    """
+    by, bx, cap = state.x.shape
+    bx_log2 = int(np.log2(bx))
+    by_log2 = int(np.log2(by))
+
+    tgt_bx = (state.x >> jnp.uint32(32 - bx_log2)).astype(jnp.int32)
+    tgt_by = (state.y >> jnp.uint32(32 - by_log2)).astype(jnp.int32)
+    cur_bx = jax.lax.broadcasted_iota(jnp.int32, (by, bx, cap), 1)
+    cur_by = jax.lax.broadcasted_iota(jnp.int32, (by, bx, cap), 0)
+    dy = cur_by - tgt_by
+    dx = cur_bx - tgt_bx
+    live = state.ty >= 0
+    pullable = live & (jnp.abs(dy) <= 1) & (jnp.abs(dx) <= 1)
+
+    def shift_pad(a, sy, sx):
+        """a shifted by (+sy, +sx) with zero fill: result[y, x] = a[y-sy, x-sx]."""
+        pad_y = (max(sy, 0), max(-sy, 0))
+        pad_x = (max(sx, 0), max(-sx, 0))
+        p = jnp.pad(a, (pad_y, pad_x))
+        return p[pad_y[1] : pad_y[1] + by, pad_x[1] : pad_x[1] + bx]
+
+    rank = jnp.zeros((by, bx, cap), jnp.int32)
+    block_prefix = jnp.zeros((by, bx), jnp.int32)  # indexed by target bucket
+    for k in range(9):
+        dyk, dxk = k // 3 - 1, k % 3 - 1
+        mask_k = pullable & (dy == dyk) & (dx == dxk)
+        mk_i = mask_k.astype(jnp.int32)
+        # within-source-bucket exclusive cumsum along slots
+        r_k = jnp.cumsum(mk_i, axis=-1) - mk_i
+        # block_prefix is per-target; align to p's cell (C = T + (dyk, dxk))
+        bs_at_c = shift_pad(block_prefix, dyk, dxk)
+        rank = rank + mk_i * (bs_at_c[..., None] + r_k)
+        # add this block's counts into the per-target prefix:
+        # cnt_k[T] = sum_slots mask_k at bucket T + (dyk, dxk)
+        cnt_k = shift_pad(jnp.sum(mk_i, axis=-1), -dyk, -dxk)
+        block_prefix = block_prefix + cnt_k
+
+    keep = pullable & (rank < cap)
+    dest = (tgt_by * bx + tgt_bx) * cap + rank
+    n = by * bx * cap
+    dest = jnp.where(keep, dest, n)  # out-of-bounds = dropped
+    return dest.reshape(-1), keep.reshape(-1)
+
+
+def bucket_move_direct(state: ParticleState) -> ParticleState:
+    """Rebucketing via direct destination computation + one scatter —
+    bit-identical to bucket_move; avoids the global sort entirely."""
+    by, bx, cap = state.x.shape
+    dest, _ = move_dest_direct(state)
+    flat = state.reshape((-1,))
+    out = empty_state((by * bx * cap,))
+    mode = "drop"
+    out = ParticleState(
+        x=out.x.at[dest].set(flat.x, mode=mode),
+        y=out.y.at[dest].set(flat.y, mode=mode),
+        vx=out.vx.at[dest].set(flat.vx, mode=mode),
+        vy=out.vy.at[dest].set(flat.vy, mode=mode),
+        ty=out.ty.at[dest].set(flat.ty, mode=mode),
+    )
+    return out.reshape((by, bx, cap))
+
+
 def bucket_move_sorted(state: ParticleState) -> ParticleState:
     """Rebucketing by one global key sort — semantics-identical to
     ``bucket_move`` but O(N log N) over N particles instead of an argsort over

@@ -127,3 +127,35 @@ def test_allpairs_pallas_with_cursor():
     ref = jax.tree.map(np.asarray, allpairs_step(state, p))
     got = jax.tree.map(np.asarray, allpairs_step_pallas(state, p, interpret=True))
     np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_move_matches_pull():
+    """The on-chip pull-place rebucket kernel is bit-identical to bucket_move,
+    including overflow-drop and drift-drop semantics."""
+    from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas
+    from particle_simulator_tpu.physics.bucket import bucket_move
+
+    cfg = GridConfig(4, 4, 8)
+    state, p = scene(cfg, nx=20, ny=20, vel=(0.0, 400.0), seed=5)
+    for _ in range(30):
+        state = jax.jit(bucket_step)(state, p)
+
+    a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+    b = jax.tree.map(np.asarray, bucket_move_pallas(state, interpret=True))
+    for name, u, v in zip(a._fields, a, b):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
+
+
+def test_move_dest_direct_matches_pull():
+    """Direct destination computation (no sort/scan) reproduces the pull
+    order exactly (via the scatter-based bucket_move_direct)."""
+    from particle_simulator_tpu.physics.bucket import bucket_move, bucket_move_direct
+
+    cfg = GridConfig(4, 4, 8)
+    state, p = scene(cfg, nx=20, ny=20, vel=(0.0, 400.0), seed=5)
+    for _ in range(30):
+        state = jax.jit(bucket_step)(state, p)
+    a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+    b = jax.tree.map(np.asarray, jax.jit(bucket_move_direct)(state))
+    for name, u, v in zip(a._fields, a, b):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
