@@ -49,11 +49,15 @@ AXIS_Y, AXIS_X = "dy", "dx"
 
 
 def factor_mesh(n_devices: int) -> tuple[int, int]:
-    """Factor n into the most-square (ny, nx) pair, ny >= nx. Powers of two
-    (the TPU pod case) split evenly; primes fall back to (n, 1)."""
-    nx = int(math.isqrt(n_devices))
-    while nx > 1 and n_devices % nx:
-        nx -= 1
+    """Factor n into the most-square (ny, nx) pair with nx a power of two.
+
+    Bucket counts are powers of two (bucket id = coordinate top bits), so the
+    x mesh axis must divide a power of two exactly; the y axis may be any
+    size — rows can be padded (pad_rows_for_mesh). Powers of two (the TPU pod
+    case) split near-square; odd factors all land on y."""
+    nx = 1
+    while n_devices % (nx * 2) == 0 and (nx * 2) ** 2 <= n_devices:
+        nx *= 2
     return n_devices // nx, nx
 
 
@@ -75,6 +79,32 @@ def grid_sharding(mesh: Mesh) -> NamedSharding:
 def shard_state(state: ParticleState, mesh: Mesh) -> ParticleState:
     s = grid_sharding(mesh)
     return ParticleState(*(jax.device_put(a, s) for a in state))
+
+
+def pad_rows_for_mesh(state: ParticleState, mesh: Mesh) -> tuple[ParticleState, int]:
+    """Append tombstone bucket rows so the row count divides the mesh's dy
+    axis (needed when the device count has non-power-of-two factors).
+    Returns (padded_state, original_rows)."""
+    ny = mesh.devices.shape[0]
+    by = state.x.shape[0]
+    target = ny * ((by + ny - 1) // ny)
+    if target == by:
+        return state, by
+    pad = [(0, target - by), (0, 0), (0, 0)]
+
+    def pad_field(a, fill):
+        return jnp.pad(a, pad, constant_values=fill)
+
+    return (
+        ParticleState(
+            x=pad_field(state.x, jnp.uint32(0)),
+            y=pad_field(state.y, jnp.uint32(0)),
+            vx=pad_field(state.vx, jnp.float32(0)),
+            vy=pad_field(state.vy, jnp.float32(0)),
+            ty=pad_field(state.ty, jnp.int32(-1)),
+        ),
+        by,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -182,9 +212,13 @@ def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True, kern
     step implementation: "jnp" (portable) or "pallas" (TPU VMEM kernel).
     """
     ny, nx = mesh.devices.shape
-    if cfg.by % ny or cfg.bx % nx:
-        raise ValueError(f"grid {cfg.by}x{cfg.bx} not divisible by mesh {ny}x{nx}")
-
+    if cfg.bx % nx:
+        raise ValueError(f"grid bx={cfg.bx} not divisible by mesh nx={nx}")
+    # Rows may be PADDED: bucket counts must be powers of two (bucket id =
+    # coordinate top bits), so a non-power-of-two mesh axis can't divide them.
+    # Callers append tombstone rows to (ny * ceil(by/ny)); padded rows have
+    # global row index >= cfg.by, are never force-visible (row_ok masks) and
+    # never targeted by the move (targets come from coordinate bits < by).
     body = functools.partial(_local_frame, cfg=cfg, ny=ny, nx=nx, kernel=kernel)
     sharded = shard_map(
         body,

@@ -48,12 +48,19 @@ def scene_grid(cfg: GridConfig, nx=20, ny=20, vel=(0.0, 30.0), seed=3):
 
 
 def test_factor_mesh():
+    # nx must be a power of two (it must divide the power-of-two bucket grid);
+    # odd factors land on the (paddable) y axis
     assert factor_mesh(8) == (4, 2)
     assert factor_mesh(4) == (2, 2)
     assert factor_mesh(2) == (2, 1)
     assert factor_mesh(1) == (1, 1)
     assert factor_mesh(7) == (7, 1)
-    assert factor_mesh(12) == (4, 3)
+    assert factor_mesh(12) == (6, 2)
+    assert factor_mesh(16) == (4, 4)
+    for n in range(1, 20):
+        ny, nx = factor_mesh(n)
+        assert ny * nx == n
+        assert nx & (nx - 1) == 0  # power of two
 
 
 def test_halo_exchange_matches_tombstone_pad_interior():
