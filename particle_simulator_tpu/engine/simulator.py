@@ -183,9 +183,10 @@ class Simulator:
                 live, self.base_grid, meta.box_width, meta.species(0).force0_r()
             )
             if self.mesh is not None:
-                # grow the grid until it tiles the mesh evenly
-                ny, nx = self.mesh.devices.shape
-                while self.grid.by % ny or self.grid.bx % nx:
+                # grow bx until it tiles the mesh's (power-of-two) x axis;
+                # the y axis is handled by tombstone row padding below
+                nx = self.mesh.devices.shape[1]
+                while self.grid.bx % nx:
                     self.grid = GridConfig(
                         self.grid.bx_log2 + 1, self.grid.by_log2 + 1,
                         self.grid.cap, self.grid.move_every,
@@ -193,8 +194,12 @@ class Simulator:
             layout = bucketize_numpy(live, self.grid)
             state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
             if self.mesh is not None:
-                from particle_simulator_tpu.parallel.domain import shard_state
+                from particle_simulator_tpu.parallel.domain import (
+                    pad_rows_for_mesh,
+                    shard_state,
+                )
 
+                state, _ = pad_rows_for_mesh(state, self.mesh)
                 self.state = shard_state(state, self.mesh)
             else:
                 self.state = jax.device_put(state, jdev)

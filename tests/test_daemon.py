@@ -233,3 +233,38 @@ def test_grid_selection_is_density_aware():
     assert sim.live_count == n * n, f"dropped {n*n - sim.live_count} particles"
     # and the bucket width stayed at/above the physics floor
     assert meta.box_width / sim.grid.bx >= 2.0 * r0 or sim.grid.cap > 16
+
+
+def test_daemon_sharded_odd_mesh():
+    """Sharded engine over a 3-device mesh (odd y axis -> padded rows)."""
+    import jax
+
+    if len(jax.devices()) < 3:
+        pytest.skip("needs 3 virtual devices")
+
+    from particle_simulator_tpu.parallel.domain import make_mesh
+
+    def run_sharded(port, max_frames):
+        reader, writer = new_tcp_client(("127.0.0.1", port))
+        frontend = Frontend(reader, writer, verbose=False)
+        sim = Simulator(GridConfig(4, 4, 8), mesh=make_mesh(n_devices=3))
+        while frontend.is_connected:
+            f = frontend.read()
+            if f is not None and f.particle_count > 0:
+                sim.load_frame(f)
+                break
+            time.sleep(0.001)
+        main_loop(frontend, sim, max_frames=max_frames)
+
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_sharded, args=(server.addr[1], 4), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+    scene = scene_frame()
+    assert writer.write(scene)
+    frames = read_frames(reader, want=3)
+    assert len(frames) == 3
+    assert all(f.particle_count == scene.particle_count for f in frames)
+    assert all(np.isfinite(f.particles["vx"]).all() for f in frames)
+    t.join(timeout=60)
+    server.close()
