@@ -94,11 +94,9 @@ def _roll_lanes(a: jnp.ndarray, t: int) -> jnp.ndarray:
 
 def _step_kernel(
     params_ref,
-    xm_ref, x_ref, xp_ref,
-    ym_ref, y_ref, yp_ref,
-    tym_ref, ty_ref, typ_ref,
-    vx_ref, vy_ref,
+    x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref,
+    fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int,
 ):
     p_id = pl.program_id(0)
@@ -147,18 +145,31 @@ def _step_kernel(
     dist_y = jnp.where(in_bottom, yf, U32_MAX_F - yf) / U32_MAX_F * bh
     fy = fy + jnp.where(in_bottom, F32(1.0), F32(-1.0)) * rep(dist_y)
 
-    # ---- 3x3-neighborhood pair forces ----
-    # rows above/below assembled from the neighbor blocks
-    def above(a_m, a):
-        return jnp.concatenate([a_m[ty_rows - 1 :], a[: ty_rows - 1]], axis=0)
+    # accumulate pair forces through scratch refs: value-carried accumulators
+    # keep hundreds of unrolled-pass temps live and blow the VMEM stack
+    fx_acc[:] = fx
+    fy_acc[:] = fy
 
-    def below(a, a_p):
-        return jnp.concatenate([a[1:], a_p[:1]], axis=0)
+    # ---- 3x3-neighborhood pair forces ----
+    # the six rows above/below the block arrive packed in ONE 8-sublane halo
+    # block (Mosaic requires sublane block dims of 8; fetching whole neighbor
+    # blocks instead would triple VMEM + HBM traffic for one row of data)
+    halo = halo_ref[:]
+    xa, xb = halo[0:1], halo[1:2]
+    ya, yb = halo[2:3], halo[3:4]
+    tya = jax.lax.bitcast_convert_type(halo[4:5], jnp.int32)
+    tyb = jax.lax.bitcast_convert_type(halo[5:6], jnp.int32)
+
+    def above(a_row, a):
+        return jnp.concatenate([a_row, a[: ty_rows - 1]], axis=0)
+
+    def below(a, b_row):
+        return jnp.concatenate([a[1:], b_row], axis=0)
 
     rows = {
-        -1: (above(xm_ref[:], x0), above(ym_ref[:], y0), above(tym_ref[:], ty0)),
+        -1: (above(xa, x0), above(ya, y0), above(tya, ty0)),
         0: (x0, y0, ty0),
-        1: (below(x0, xp_ref[:]), below(y0, yp_ref[:]), below(ty0, typ_ref[:])),
+        1: (below(x0, xb), below(y0, yb), below(ty0, tyb)),
     }
 
     inv_u32_bw = bw / U32_MAX_F
@@ -202,13 +213,13 @@ def _step_kernel(
             lsr = jnp.log(sigma * inv_r)
             f_over_r = Ce * (m * jnp.exp(m * lsr) - n * jnp.exp(n * lsr)) * (inv_r * inv_r)
             f_over_r = jnp.where(valid, f_over_r, F32(0.0))
-            fx = fx + f_over_r * dx
-            fy = fy + f_over_r * dyy
+            fx_acc[:] = fx_acc[:] + f_over_r * dx
+            fy_acc[:] = fy_acc[:] + f_over_r * dyy
 
     # ---- leapfrog kick-drift in u32 fixed point (particle.cuh:105-123) ----
     vx0, vy0 = vx_ref[:], vy_ref[:]
-    nvx = vx0 + (fx / PARTICLE_MASS) * dt
-    nvy = vy0 + (fy / PARTICLE_MASS) * dt
+    nvx = vx0 + (fx_acc[:] / PARTICLE_MASS) * dt
+    nvy = vy0 + (fy_acc[:] / PARTICLE_MASS) * dt
     ddx = jnp.round((nvx * dt / bw) * U32_MAX_F)
     ddy = jnp.round((nvy * dt / bh) * U32_MAX_F)
     nx = x0 + jax.lax.bitcast_convert_type(ddx.astype(jnp.int32), jnp.uint32)
@@ -230,9 +241,11 @@ def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
     kernel_bucket.cuh:118-121) — honored when it divides the grid and fits
     the budget.
     """
-    budget = max(2, 32768 // lanes)
+    # Mosaic requires the sublane block dim be a multiple of 8 (or the whole
+    # array), so 8 is the floor even when the lane budget asks for less
+    budget = max(8, 32768 // lanes)
     candidates = (requested,) if requested else ()
-    for ty in (*candidates, 16, 8, 4, 2):
+    for ty in (*candidates, 16, 8):
         if ty and ty <= budget and by % ty == 0 and by >= ty:
             return ty
     return by
@@ -256,16 +269,21 @@ def bucket_step_pallas(
 
     params = _params_vector(p)
 
-    def spec(offset):
-        if offset == 0:
-            return pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        if offset < 0:
-            return pl.BlockSpec(
-                (ty_rows, L), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
-            )
-        return pl.BlockSpec(
-            (ty_rows, L), lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0), memory_space=pltpu.VMEM
-        )
+    spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
+    def neighbor_rows(a):
+        # rows[p] above/below block p: global rows p*ty-1 and (p+1)*ty
+        # (wrapped rows at the grid edges are masked in-kernel via row_ok)
+        a2 = a.reshape(by, L)
+        return jnp.roll(a2, 1, axis=0)[::ty_rows], jnp.roll(a2, -1, axis=0)[ty_rows - 1 :: ty_rows]
+
+    xa, xb = neighbor_rows(state.x)
+    ya, yb = neighbor_rows(state.y)
+    tya, tyb = neighbor_rows(jax.lax.bitcast_convert_type(state.ty, jnp.uint32))
+    zero = jnp.zeros_like(xa)
+    # (n_blocks, 8, L): [xa, xb, ya, yb, tya, tyb, 0, 0] per block
+    halo = jnp.stack([xa, xb, ya, yb, tya, tyb, zero, zero], axis=1).reshape(n_blocks * 8, L)
+    halo_spec = pl.BlockSpec((8, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
     out_shape = [
         jax.ShapeDtypeStruct((by, L), jnp.uint32),
@@ -281,20 +299,25 @@ def bucket_step_pallas(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
-            spec(-1), spec(0), spec(+1),  # x
-            spec(-1), spec(0), spec(+1),  # y
-            spec(-1), spec(0), spec(+1),  # ty
-            spec(0), spec(0),  # vx, vy
+            spec(), spec(), spec(), spec(), spec(),  # x, y, ty, vx, vy
+            halo_spec,  # packed neighbor rows
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ty_rows, L), jnp.float32),
+            pltpu.VMEM((ty_rows, L), jnp.float32),
+        ],
+        # the unrolled pass pipeline legitimately holds ~20 MB of stack at
+        # wide rows (L = 8192, the 4M-particle grid); the 16 MB scoped
+        # default is a compiler heuristic, not the hardware VMEM size
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         params,
-        flat(state.x), flat(state.x), flat(state.x),
-        flat(state.y), flat(state.y), flat(state.y),
-        flat(state.ty), flat(state.ty), flat(state.ty),
+        flat(state.x), flat(state.y), flat(state.ty),
         flat(state.vx), flat(state.vy),
+        halo,
     )
 
     shape = state.x.shape
