@@ -86,7 +86,7 @@ def main(argv=None) -> int:
                 # grow the box when the lattice wouldn't fit at ~60% span
                 # (u32 positions wrap outside the box — a too-small box
                 # aliases the scene into overflowing buckets)
-                from particle_simulator_tpu.io.frame import FrameMetadata, MieParams
+                from particle_simulator_tpu.io.frame import FrameMetadata
 
                 r0 = FrameMetadata(editor.sim_params).species(0).force0_r()
                 span = max(nx, ny) * r0 * args.distance_factor

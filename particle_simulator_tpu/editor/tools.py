@@ -24,7 +24,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import math
-from typing import Iterable, Optional
+from typing import Optional
 
 import numpy as np
 

@@ -17,7 +17,6 @@ then open http://127.0.0.1:8700
 from __future__ import annotations
 
 import argparse
-import io
 import json
 import struct
 import sys
@@ -25,7 +24,7 @@ import threading
 import time
 import zlib
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from urllib.parse import parse_qs, urlparse
+from urllib.parse import urlparse
 
 import numpy as np
 

@@ -18,8 +18,6 @@ import subprocess
 from pathlib import Path
 from typing import Optional
 
-import numpy as np
-
 from particle_simulator_tpu.io.frame import Frame as PyFrame
 
 _REPO = Path(__file__).resolve().parents[2]

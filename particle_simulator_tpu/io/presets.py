@@ -16,7 +16,6 @@ import numpy as np
 
 from particle_simulator_tpu.io.frame import (
     Frame,
-    FrameMetadata,
     PARTICLE_DTYPE,
     U32_MAX,
 )

@@ -29,7 +29,6 @@ Single-device semantics are preserved exactly: tests check a sharded run on an
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
