@@ -33,11 +33,15 @@ from particle_simulator_tpu.io.transport import (
 class Frontend:
     """Connection glue (frontend.hpp analog): newest-wins reads, compacted writes."""
 
-    def __init__(self, reader: Reader, writer: Writer, verbose: bool = True):
+    def __init__(self, reader: Reader, writer: Writer, verbose: bool = True,
+                 record: Writer | None = None):
         self.reader = reader
         self.writer = writer
         self.is_connected = True
         self.verbose = verbose
+        # optional tee of every outbound frame to a file — the frame stream IS
+        # the checkpoint format (replay with editor.headless --replay)
+        self.record = record
 
     @staticmethod
     def connect_tcp(addr, retry_s: float = 0.0) -> "Frontend":
@@ -72,6 +76,8 @@ class Frontend:
     def write(self, frame: Frame) -> None:
         if not self.is_connected:
             return
+        if self.record is not None:
+            self.record.write(frame)
         if not self.writer.write(frame):
             self.is_connected = False
 
@@ -112,7 +118,7 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None)
 
 
 def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0,
-          n_devices: int | None = None) -> int:
+          n_devices: int | None = None, record: str | None = None) -> int:
     from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
 
     mesh = None
@@ -123,6 +129,9 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
         print(f"engine: sharding over a {mesh.devices.shape} device mesh", file=sys.stderr)
     sim = Simulator(grid or REFERENCE_GRID, mesh=mesh)
     frontend = Frontend.connect_tcp(addr, retry_s=retry_s)
+    if record:
+        frontend.record = Writer.open_file(record)
+        print(f"engine: recording outbound frames to {record}", file=sys.stderr)
     print(f"engine: connected to editor at {addr}", file=sys.stderr)
 
     # wait for the first non-empty frame (cuda_simulator.cu:43-49)
@@ -162,6 +171,9 @@ def main(argv=None) -> int:
     ap.add_argument("--files", default=None, help="DIR: use DIR/backend_in.bin + DIR/backend_out.bin instead of TCP")
     ap.add_argument("--max-frames", type=int, default=None)
     ap.add_argument("--retry-s", type=float, default=10.0, help="keep retrying the connection this long")
+    ap.add_argument("--record", default=None,
+                    help="tee every outbound frame to this file (replayable "
+                         "with editor.headless --replay)")
     ap.add_argument("--devices", type=int, default=None,
                     help="shard the bucket grid over this many chips (spatial "
                          "domain decomposition; default: single device)")
@@ -180,7 +192,7 @@ def main(argv=None) -> int:
 
     host, port = args.addr.rsplit(":", 1)
     serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s,
-          n_devices=args.devices)
+          n_devices=args.devices, record=args.record)
     return 0
 
 

@@ -268,3 +268,40 @@ def test_daemon_sharded_odd_mesh():
     assert all(np.isfinite(f.particles["vx"]).all() for f in frames)
     t.join(timeout=60)
     server.close()
+
+
+def test_daemon_record_tee(tmp_path):
+    """--record tees outbound frames to a replayable file."""
+    from particle_simulator_tpu.io.transport import Reader, Writer
+
+    record_path = str(tmp_path / "record.bin")
+
+    def run_recording(port, max_frames):
+        reader, writer = new_tcp_client(("127.0.0.1", port))
+        frontend = Frontend(reader, writer, verbose=False,
+                            record=Writer.open_file(record_path))
+        sim = Simulator(GridConfig(4, 4, 8))
+        while frontend.is_connected:
+            f = frontend.read()
+            if f is not None and f.particle_count > 0:
+                sim.load_frame(f)
+                break
+            time.sleep(0.001)
+        main_loop(frontend, sim, max_frames=max_frames)
+        frontend.record.close()
+
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_recording, args=(server.addr[1], 4), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+    assert writer.write(scene_frame())
+    live = read_frames(reader, want=3)
+    t.join(timeout=30)
+    server.close()
+
+    # the recording replays to the same frames the editor saw live
+    rec = Reader.open_file(record_path)
+    recorded = read_frames(rec, want=3)
+    assert len(recorded) >= 3
+    for a, b in zip(live, recorded):
+        assert a.bytes == b.bytes
