@@ -74,7 +74,7 @@ def dense_grid_scene(cfg, fill: int):
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--particles", type=int, default=1_048_576)
-    ap.add_argument("--frames", type=int, default=5, help="timed frame dispatches")
+    ap.add_argument("--frames", type=int, default=10, help="timed frame dispatches")
     ap.add_argument("--steps", type=int, default=100, help="physics steps per frame")
     ap.add_argument("--fill", type=int, default=16, help="particles per bucket")
     args = ap.parse_args(argv)

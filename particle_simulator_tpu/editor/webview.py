@@ -49,6 +49,7 @@ label { display: block; margin-top: 8px; font-size: 12px; }
     <button onclick="ctl('seek_live')">live</button>
     <button onclick="ctl('lattice')">lattice</button>
     <button onclick="ctl('clear')">clear</button>
+    <button onclick="ctl('disconnect')">disconnect</button>
   </div>
   <label>play speed (log s/s) <input type="range" id="speed" min="-15" max="0" step="0.1" value="-11.3"
     oninput="ctl('speed', {value: Math.pow(10, this.value)})"></label>
