@@ -67,11 +67,17 @@ def _params_vector(p: SimParams) -> jnp.ndarray:
 
 
 def _u32_to_f32(v: jnp.ndarray) -> jnp.ndarray:
-    """uint32 -> float32 value conversion (Mosaic has no direct u32->f32 cast):
-    reinterpret as i32, convert, and add 2^32 back for the wrapped half."""
-    i = jax.lax.bitcast_convert_type(v, jnp.int32)
-    f = i.astype(F32)
-    return jnp.where(i < 0, f + F32(4294967296.0), f)
+    """uint32 -> float32, correctly rounded (Mosaic has no direct u32->f32
+    cast). Split into two halves that convert EXACTLY (both < 2^16 mantissa
+    bits), scale the high half by an exact power of two, and round once at the
+    sum — bit-identical to XLA's own u32->f32. (A convert-then-fixup version
+    double-rounds by 1 ulp, which is enough to flip the cursor-radius boundary
+    test and diverge by a full cursor kick.)"""
+    hi = jax.lax.bitcast_convert_type(
+        jax.lax.shift_right_logical(v, jnp.uint32(16)), jnp.int32
+    ).astype(F32)
+    lo = jax.lax.bitcast_convert_type(v & jnp.uint32(0xFFFF), jnp.int32).astype(F32)
+    return hi * F32(65536.0) + lo
 
 
 def _wrap_dist(a_u32: jnp.ndarray, b_u32: jnp.ndarray, scale) -> jnp.ndarray:

@@ -159,3 +159,58 @@ def test_move_dest_direct_matches_pull():
     b = jax.tree.map(np.asarray, jax.jit(bucket_move_direct)(state))
     for name, u, v in zip(a._fields, a, b):
         np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
+
+
+def test_pallas_step_random_scenes_property():
+    """Randomized differential test: random boxes, species params, velocities,
+    and occupancy patterns through jnp vs Pallas step (interpret mode)."""
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE, default_metadata
+
+    rng = np.random.default_rng(42)
+    for trial in range(3):
+        cfg = GridConfig(4, 4, 8)
+        meta = default_metadata()
+        meta["box_width"] = rng.uniform(20e-9, 200e-9)
+        meta["box_height"] = meta["box_width"]
+        meta["step_dt"] = rng.uniform(1e-15, 10e-15)
+        meta["particles"][0]["sigma"] = rng.uniform(2e-10, 5e-10)
+        meta["particles"][0]["n"] = rng.uniform(10.0, 16.0)
+        meta["particles"][0]["m"] = rng.uniform(5.0, 7.0)
+        if trial == 2:  # cursor active
+            meta["cursor_pos"] = (0.5, 0.5)
+            meta["cursor_size"] = 0.4
+
+        n = int(rng.integers(50, 400))
+        parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+        # spread-out random positions (no overlapping pairs), confined to the
+        # central 90% of the box: a particle jammed against a wall sits on the
+        # r^-m singularity where one ulp of formulation difference (pow vs
+        # exp*log) amplifies to huge absolute force deltas in BOTH valid
+        # implementations
+        side = int(np.ceil(np.sqrt(n)))
+        cells = rng.choice(side * side, n, replace=False)
+        jitter = rng.integers(0, 2**32 // (side * 8), (2, n), dtype=np.uint64)
+        span = int(0.9 * 2**32)
+        off = int(0.05 * 2**32)
+        parts["x"] = (off + ((cells % side) * (span // side) + jitter[0])).astype(np.uint32)
+        parts["y"] = (off + ((cells // side) * (span // side) + jitter[1])).astype(np.uint32)
+        parts["vx"] = rng.normal(0, 100, n)
+        parts["vy"] = rng.normal(0, 100, n)
+        parts["ty"] = rng.integers(0, 2, n)
+        parts["ty"][rng.random(n) < 0.1] = -1  # sprinkle tombstones
+
+        from particle_simulator_tpu.physics.bucket import bucketize_numpy
+
+        layout = bucketize_numpy(parts, cfg)
+        state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+        p = SimParams.from_record(meta)
+
+        ref = jax.tree.map(np.asarray, bucket_step(state, p))
+        got = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
+        np.testing.assert_array_equal(ref.ty, got.ty, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(
+            ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=4,
+            err_msg=f"trial {trial}",
+        )
+        np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-3, atol=1e-2, err_msg=f"trial {trial}")
+        np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-3, atol=1e-2, err_msg=f"trial {trial}")
