@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from particle_simulator_tpu.engine.state import SimParams, state_from_numpy, state_to_numpy
 from particle_simulator_tpu.io.frame import Frame
@@ -214,3 +215,34 @@ def test_pallas_step_random_scenes_property():
         )
         np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-3, atol=1e-2, err_msg=f"trial {trial}")
         np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-3, atol=1e-2, err_msg=f"trial {trial}")
+
+
+def test_pallas_move_random_scenes_property():
+    """Randomized differential test for the rebucket pass: random drifts,
+    occupancy, and tombstones — bit-identity against the pull-based oracle."""
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE, default_metadata
+    from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas
+    from particle_simulator_tpu.physics.bucket import bucket_move, bucketize_numpy
+
+    rng = np.random.default_rng(7)
+    for trial in range(3):
+        cfg = GridConfig(4, 4, 8)
+        n = int(rng.integers(100, 800))
+        parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+        parts["x"] = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        parts["y"] = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+        parts["vx"] = rng.normal(0, 100, n)
+        parts["ty"] = rng.integers(0, 3, n)
+        layout = bucketize_numpy(parts, cfg)
+        state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+        # perturb positions so some particles are mis-bucketed by +-1 bucket
+        # (the post-drift state a move pass exists to fix) and some further
+        # (must be dropped)
+        drift = rng.integers(-(2**27), 2**27, state.x.shape, dtype=np.int64)
+        x2 = (np.asarray(state.x).astype(np.int64) + drift) % 2**32
+        state = state._replace(x=jnp.asarray(x2.astype(np.uint32)))
+
+        a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+        b = jax.tree.map(np.asarray, bucket_move_pallas(state, interpret=True))
+        for name, u, v in zip(a._fields, a, b):
+            np.testing.assert_array_equal(u, v, err_msg=f"trial {trial} field {name}")
