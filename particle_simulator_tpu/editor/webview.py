@@ -99,11 +99,23 @@ canvas.onmouseup = e => { down = false; cursor(e, false); };
 canvas.onmousemove = e => { if (down) cursor(e, true); };
 canvas.onmouseleave = e => { if (down) { down = false; cursor(e, false); } };
 const img = new Image();
-img.onload = () => ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+let ghost = null;
+function draw() {
+  ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
+  if (ghost && ghost.x >= 0) {  // (-1,-1) = no cursor
+    ctx.strokeStyle = 'rgba(255,255,255,0.5)';
+    ctx.beginPath();
+    ctx.arc(ghost.x * canvas.width, (1 - ghost.y) * canvas.height,
+            ghost.size / 2 * canvas.width, 0, 2 * Math.PI);
+    ctx.stroke();
+  }
+}
+img.onload = draw;
 function refresh() { img.src = '/frame.png?' + Date.now(); }
 setInterval(refresh, 66);
 setInterval(async () => {
   const s = await (await fetch('/stats')).json();
+  ghost = s.engine_cursor || null;
   document.getElementById('stats').textContent = JSON.stringify(s, null, 1);
 }, 500);
 refresh();
@@ -192,7 +204,14 @@ class WebEditor:
 
     def stats(self) -> dict:
         with self.lock:
-            return self.editor.stats()
+            st = self.editor.stats()
+            # ghost of the engine's active cursor (editor.rs:423-431): the
+            # engine echoes cursor_pos in every outbound frame's metadata
+            frame = self.editor.current_frame()
+            if frame is not None:
+                cx, cy = (float(v) for v in frame.metadata.cursor_pos)
+                st["engine_cursor"] = {"x": cx, "y": cy, "size": float(frame.metadata.cursor_size)}
+            return st
 
     def close(self):
         self._stop = True
