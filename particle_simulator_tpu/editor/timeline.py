@@ -65,8 +65,12 @@ class Timeline:
             )
 
     # -- lookup (simulation.rs:97-147) ----------------------------------------
-    def frame(self, t: float) -> tuple[Frame, float] | None:
-        """Nearest frame to sim-time ``t`` and that frame's exact time."""
+    def _locate(self, t: float) -> tuple[int, float] | None:
+        """(frame index, exact frame time) nearest to sim-time ``t``.
+
+        O(log intervals) — never compares frame contents (Frame.__eq__ scans
+        full particle arrays; at 1M particles that must stay off hot paths
+        like the stats poll)."""
         if not self._frames:
             return None
         starts = [iv.start_time for iv in self._intervals]
@@ -79,15 +83,19 @@ class Timeline:
             nxt = self._intervals[k + 1]
             if abs(t - nxt.start_time) < abs(t - iv.end_time()):
                 iv = nxt
-        idx, exact = iv.frame_at(t)
+        return iv.frame_at(t)
+
+    def frame(self, t: float) -> tuple[Frame, float] | None:
+        """Nearest frame to sim-time ``t`` and that frame's exact time."""
+        got = self._locate(t)
+        if got is None:
+            return None
+        idx, exact = got
         return self._frames[idx], exact
 
     def frame_index_at(self, t: float) -> int | None:
-        got = self.frame(t)
-        if got is None:
-            return None
-        frame, _ = got
-        return self._frames.index(frame)
+        got = self._locate(t)
+        return None if got is None else got[0]
 
     def last_frame(self) -> Frame | None:
         return self._frames[-1] if self._frames else None

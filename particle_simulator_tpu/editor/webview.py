@@ -125,7 +125,9 @@ refresh();
 class WebEditor:
     """Editor core + ticking thread + render cache, shared by HTTP handlers."""
 
-    def __init__(self, backend_addr=("0.0.0.0", 53123), size: int = 512):
+    # Loopback by default: the engine-facing port accepts raw, unauthenticated
+    # scene frames — binding all interfaces must be an explicit opt-in (--addr).
+    def __init__(self, backend_addr=("127.0.0.1", 53123), size: int = 512):
         self.editor = Editor(Backend(addr=backend_addr))
         self.size = size
         self.lock = threading.Lock()
@@ -279,7 +281,11 @@ def make_server(http_addr, web: WebEditor) -> ThreadingHTTPServer:
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--http", default="127.0.0.1:8700", help="UI listen address")
-    ap.add_argument("--addr", default="0.0.0.0:53123", help="engine TCP listen address")
+    ap.add_argument(
+        "--addr",
+        default="127.0.0.1:53123",
+        help="engine TCP listen address (pass 0.0.0.0:PORT to accept remote engines)",
+    )
     ap.add_argument("--size", type=int, default=512)
     args = ap.parse_args(argv)
 

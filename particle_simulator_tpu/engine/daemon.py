@@ -103,8 +103,13 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None)
                 sim.update_metadata(incoming)  # live param tweak
             else:
                 sim.load_frame(incoming)  # full scene reset
-                sim.frame_async()
+                # Echo the loaded scene verbatim BEFORE dispatching the next
+                # frame (mirrors the prime path above and the reference, which
+                # writes the incoming frame as-is, cuda_simulator.cu:16-20);
+                # writing after frame_async would ship the post-step state and
+                # then re-send it next iteration via prev_state.
                 frontend.write(sim.read_frame())
+                sim.frame_async()
                 shipped += 1
                 continue
 

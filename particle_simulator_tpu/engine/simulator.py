@@ -206,16 +206,36 @@ class Simulator:
         self.params = SimParams.from_record(self.meta_record)
 
     def update_metadata(self, frame: Frame) -> None:
-        """Metadata-only frame (particle_count == 0): live reconfigure without
-        touching particle state (cuda_simulator.cu:12-14). Data-structure or
-        device switches require a scene frame, as in the reference (the layout
-        lives in the buffers)."""
+        """Metadata-only frame (particle_count == 0): live reconfigure
+        (cuda_simulator.cu:12-14, where write_metadata copies the FULL incoming
+        metadata and run_async dispatches on it). Like the reference, a
+        ``data_structure`` or ``device`` change takes effect live: the current
+        particles are read back, re-laid-out into the new structure on the new
+        device, and the run continues — no scene reset required. Pure parameter
+        tweaks never touch particle state (and never recompile: the launch-width
+        field ``gpu_threads_per_block_log2`` is a static kernel arg here, so
+        live edits of it are deferred to the next re-layout/scene load to keep
+        the zero-recompile invariant)."""
         if self.meta_record is None:
             return
         new = frame.metadata.copy()
+        requested_dev = Device(int(new["device"]))
+        _, effective_dev = self._target_device(requested_dev)
+        if (
+            int(new["data_structure"]) != int(self.data_structure)
+            or effective_dev != self.active_device
+        ):
+            # Live structure/device switch: re-layout the running scene.
+            live = state_to_numpy(self.state)
+            relayout = Frame.from_particles(new, live[live["ty"] >= 0])
+            self.load_frame(relayout)
+            return
         # keep active layout/device fields consistent with what's actually running
         new["data_structure"] = int(self.data_structure)
         new["device"] = int(self.meta_record["device"])
+        new["gpu_threads_per_block_log2"] = int(
+            self.meta_record["gpu_threads_per_block_log2"]
+        )
         self.meta_record = new
         self.params = SimParams.from_record(self.meta_record)
 

@@ -350,7 +350,9 @@ def bucket_move_sorted(state: ParticleState) -> ParticleState:
     bx_log2 = int(np.log2(bx))
     by_log2 = int(np.log2(by))
     n = by * bx * cap
-    if n * 9 * cap >= 2**31:
+    # key = (tgt_bucket * 9 + block) * cap + slot with tgt_bucket < n/cap, so
+    # max key < 9*n; keep one extra value free for the drop sentinel.
+    if 9 * n >= 2**31 - 1:
         raise ValueError("grid too large for int32 sort keys")
 
     flat = state.reshape((-1,))

@@ -305,3 +305,104 @@ def test_daemon_record_tee(tmp_path):
     assert len(recorded) >= 3
     for a, b in zip(live, recorded):
         assert a.bytes == b.bytes
+
+
+def test_scene_reset_echoes_loaded_scene_without_duplicates():
+    """A scene reset echoes the loaded scene itself (positions identical to the
+    incoming frame, reference cuda_simulator.cu:16-20), and the stream does not
+    ship the same state twice in a row afterwards."""
+    server = new_tcp_server(("127.0.0.1", 0))
+    t = threading.Thread(target=run_daemon, args=(server.addr[1], 10), daemon=True)
+    t.start()
+    reader, writer = accept_blocking(server)
+
+    assert writer.write(scene_frame(n=8))
+    read_frames(reader, want=2)
+
+    bigger = scene_frame(n=10)
+    assert writer.write(bigger)
+    later = read_frames(reader, want=5)
+    reset_stream = [f for f in later if f.particle_count == bigger.particle_count]
+    assert len(reset_stream) >= 3
+
+    def pos_set(f):
+        return set(zip(f.particles["x"].tolist(), f.particles["y"].tolist()))
+
+    # the first post-reset frame is the scene echo (same positions, any order)
+    assert pos_set(reset_stream[0]) == pos_set(bigger)
+    # and subsequent frames each advance (no duplicate sends of one state)
+    for a, b in zip(reset_stream, reset_stream[1:]):
+        assert pos_set(a) != pos_set(b)
+    t.join(timeout=30)
+    server.close()
+
+
+def test_metadata_only_frame_switches_data_structure_live():
+    """A count==0 frame that changes data_structure re-layouts the RUNNING
+    scene without a reset (reference write_metadata copies the full metadata
+    and run_async dispatches on it, cuda_simulator.cu:12-14 + kernel.cuh):
+    MatrixBuckets -> CompactArray -> back, zero particle loss."""
+    from particle_simulator_tpu.io.frame import DataStructure
+
+    scene = scene_frame(n=8, steps=2)
+    scene.metadata.data_structure = DataStructure.MATRIX_BUCKETS
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.load_frame(scene)
+    n = scene.particle_count
+    for _ in range(2):
+        sim.frame_async()
+    assert sim.data_structure == DataStructure.MATRIX_BUCKETS
+
+    def metadata_only(ds):
+        f = Frame.new()
+        f.header["metadata"] = scene.metadata.copy()
+        f.metadata.data_structure = ds
+        assert f.particle_count == 0
+        return f
+
+    sim.update_metadata(metadata_only(DataStructure.COMPACT_ARRAY))
+    assert sim.data_structure == DataStructure.COMPACT_ARRAY
+    assert sim.live_count == n
+    for _ in range(2):
+        sim.frame_async()
+    assert sim.live_count == n
+
+    sim.update_metadata(metadata_only(DataStructure.MATRIX_BUCKETS))
+    assert sim.data_structure == DataStructure.MATRIX_BUCKETS
+    assert sim.live_count == n
+    for _ in range(2):
+        sim.frame_async()
+    assert sim.live_count == n
+    out = sim.read_frame()
+    assert np.isfinite(out.particles["vx"]).all()
+
+
+def test_metadata_only_frame_switches_device_live():
+    """A count==0 frame that changes the device re-layouts onto the new device
+    mid-run; pure parameter edits keep the running launch width (no recompile)."""
+    from particle_simulator_tpu.io.frame import Device
+
+    scene = scene_frame(n=6, steps=2)
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.load_frame(scene)
+    n = scene.particle_count
+    sim.frame_async()
+    initial_device = sim.active_device
+
+    f = Frame.new()
+    f.header["metadata"] = scene.metadata.copy()
+    f.metadata.device = Device.CPU_MAIN_THREAD
+    sim.update_metadata(f)
+    assert sim.active_device == Device.CPU_MAIN_THREAD
+    assert sim.active_device != initial_device or initial_device == Device.CPU_MAIN_THREAD
+    assert sim.live_count == n
+    sim.frame_async()
+    assert sim.live_count == n
+
+    # a live launch-width edit alone must NOT change the running value
+    # (recompile-free invariant; deferred to the next re-layout)
+    g = Frame.new()
+    g.header["metadata"] = sim.read_frame().metadata.copy()
+    g.metadata.gpu_threads_per_block_log2 = 9
+    sim.update_metadata(g)
+    assert int(sim.meta_record["gpu_threads_per_block_log2"]) != 9
