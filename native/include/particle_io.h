@@ -2,8 +2,12 @@
  *
  * A from-scratch C++ implementation of the interface the reference generates
  * with cbindgen from its Rust c_api crate (reference: particle_io/c_api/,
- * build.rs:10-24), so native hosts (and the reference CUDA simulator itself)
- * can link against the TPU engine's protocol layer unchanged.
+ * build.rs:10-24). The REFERENCE-IDENTICAL section below is signature-exact:
+ * a native host written against the reference's generated particle_io.h (for
+ * example the reference simulator's frontend, cuda_simulator/src/lib/
+ * frontend.hpp) compiles and links against this header unchanged. Extra
+ * convenience entry points live in the EXTENSIONS section under names the
+ * reference does not use.
  *
  * Wire format (reference: particle_io/src/particle.rs:12-238):
  *   packet  = 96-byte header + particle_count * 20-byte particles
@@ -63,15 +67,16 @@ typedef struct Particle {
 } Particle;
 
 /* Frame = an owned byte buffer holding header + particles
- * (reference: particle_io/c_api/src/particle.rs:6-63). */
+ * (reference: particle_io/c_api/src/particle.rs:4-10). ptr == NULL means
+ * "no frame". cap/len are in bytes. */
 typedef struct Frame {
   FrameHeader *ptr;
-  size_t cap; /* capacity in bytes */
-  size_t len; /* length in bytes   */
+  uintptr_t cap;
+  uintptr_t len;
 } Frame;
 
-/* Opaque handles sized/aligned like the reference's [u64; 2] boxes
- * (reference: particle_io/c_api/src/reader.rs, writer.rs). */
+/* Opaque handles sized/aligned like the reference's [u64; 2] repr(C) boxes
+ * (reference: particle_io/c_api/src/reader.rs:8-13, writer.rs:10-15). */
 typedef struct Reader {
   uint64_t opaque[2];
 } Reader;
@@ -80,21 +85,84 @@ typedef struct Writer {
   uint64_t opaque[2];
 } Writer;
 
-/* ---- frame functions (reference: c_api/src/particle.rs:65-116) ---- */
+/* ===========================================================================
+ * REFERENCE-IDENTICAL SURFACE — signatures match the reference's cbindgen
+ * output function for function (particle_io/c_api/src/{particle,reader,
+ * writer,tcp}.rs). Do not change these without changing the reference.
+ * ======================================================================== */
 
 /* Total packet bytes for a frame with `particle_count` particles. */
-size_t packet_size(uint32_t particle_count);
+uintptr_t packet_size(uint32_t particle_count);
 
-/* Initialize a header in place: signatures, zero count, default metadata. */
-void frame_header_init(FrameHeader *header);
+/* A header with valid signatures, zero count and default metadata
+ * (reference: c_api/src/particle.rs:109-112). */
+FrameHeader frame_header_init(void);
 
-/* Free a frame's buffer. Idempotent: ptr is nulled. */
+/* Free a frame's buffer. Idempotent: ptr is nulled
+ * (reference: c_api/src/particle.rs:66-76). */
 void frame_destroy(Frame *frame);
 
-/* Allocate a frame with capacity for `particle_capacity` particles. */
+/* Human-readable dump of the packet at `frame` (reference:
+ * c_api/src/particle.rs:80-86; length implied by particle_count). */
+void frame_print(FrameHeader *frame);
+
+/* Drop null (ty < 0) particles in place, preserving order
+ * (reference: c_api/src/particle.rs:90-96 -> particle.rs:349-368). */
+void frame_compact(FrameHeader *frame);
+
+/* Compact non-null particles of `frame` into `dst` (metadata copied, dst's
+ * signatures left as-is). `dst` must have capacity for `frame`'s live
+ * particles (reference: c_api/src/particle.rs:100-107 -> particle.rs:371-379). */
+void frame_compact_into(FrameHeader *frame, FrameHeader *dst);
+
+bool particle_is_null(Particle particle);
+
+/* Placement-initialize a file-backed reader. Aborts on open failure (the
+ * reference unwraps, c_api/src/reader.rs:18-26). */
+void reader_open_file(Reader *reader, const char *path);
+
+/* Non-blocking: newest-unread frame as a fresh allocation, or a null frame
+ * ({NULL,0,0}) when nothing is pending (reference: c_api/src/reader.rs:40-45;
+ * where the reference unwrap-aborts on disconnect, this returns the null
+ * frame). Caller owns the result: frame_destroy it. */
+Frame reader_read(Reader *reader);
+
+/* Drain all pending frames and overwrite *frame with the NEWEST one as a
+ * fresh allocation (or the null frame if none were pending). Returns false
+ * iff the stream is disconnected once drained
+ * (reference: c_api/src/reader.rs:47-63; consumed by frontend.hpp:35-47).
+ * The previous contents of *frame are NOT freed — callers pass a null frame
+ * and frame_destroy the result, as the reference's frontend does. */
+bool reader_read_last(Reader *reader, Frame *frame);
+
+void reader_destroy(Reader *reader);
+
+/* Placement-initialize a file-backed writer. Aborts on open failure
+ * (reference: c_api/src/writer.rs:21-29). */
+void writer_open_file(Writer *writer, const char *path);
+
+/* Blocking write of packet_size(frame->particle_count) bytes. Returns false
+ * (with a stderr note) on error (reference: c_api/src/writer.rs:40-55). */
+bool writer_write(Writer *writer, FrameHeader *frame);
+
+void writer_destroy(Writer *writer);
+
+/* Connect to the editor's TCP server at `addr` ("host:port"); on success
+ * placement-initializes reader+writer over the shared socket. Returns false
+ * (with a stderr note) on failure (reference: c_api/src/tcp.rs:10-34). */
+bool new_tcp_client(Reader *reader, Writer *writer, const char *addr);
+
+/* ===========================================================================
+ * EXTENSIONS — convenience entry points this implementation adds (names
+ * disjoint from the reference surface; used by the Python ctypes binding
+ * and the tests).
+ * ======================================================================== */
+
+/* Allocate a frame with capacity for `particle_capacity` particles and a
+ * default-initialized header. */
 Frame frame_new(uint32_t particle_capacity);
 
-/* Accessors over the raw buffer. */
+/* Accessors over a frame's raw buffer. */
 Particle *frame_particles(Frame *frame);
 FrameMetadata *frame_metadata(Frame *frame);
 uint32_t frame_particle_count(const Frame *frame);
@@ -103,48 +171,14 @@ bool frame_is_valid(const Frame *frame);
 /* Append a particle (reallocates as needed). */
 void frame_push(Frame *frame, Particle particle);
 
-/* Drop null (ty < 0) particles in place, preserving order
- * (reference: particle_io/src/particle.rs:349-368). */
-void frame_compact(Frame *frame);
+/* Blocking read of the next frame in stream order into *frame (replacing its
+ * buffer contents, reusing its allocation). Returns false when the stream is
+ * disconnected and exhausted. */
+bool reader_read_blocking(Reader *reader, Frame *frame);
 
-/* Compact non-null particles of `src` into `dst` (metadata copied too). */
-void frame_compact_into(const Frame *src, Frame *dst);
-
-/* Human-readable dump to stderr (reference: particle.rs:246-286). */
-void frame_print(const Frame *frame);
-
-bool particle_is_null(const Particle *particle);
-
-/* ---- reader (bg-thread stream reader, newest-wins drain) ---- */
-
-/* Open a file-backed reader. Returns false on open failure. */
-bool reader_open_file(Reader *reader, const char *path);
-
-/* Blocking-read the next frame into *frame (replacing its buffer).
- * Returns false when the stream is disconnected/exhausted. */
-bool reader_read(Reader *reader, Frame *frame);
-
-/* Drain all pending frames, keep only the newest
- * (reference: c_api/src/reader.rs:51-63). Returns false on disconnect
- * with nothing pending. Sets *got to whether a frame was written. */
-bool reader_read_last(Reader *reader, Frame *frame, bool *got);
-
-void reader_destroy(Reader *reader);
-
-/* ---- writer ---- */
-
-bool writer_open_file(Writer *writer, const char *path);
-
-/* Blocking write of the whole frame. false + stderr message on error. */
-bool writer_write(Writer *writer, const Frame *frame);
-
-void writer_destroy(Writer *writer);
-
-/* ---- TCP ---- */
-
-/* Connect to the editor's server; on success placement-initializes
- * reader+writer over the shared socket (reference: c_api/src/tcp.rs:10-34). */
-bool new_tcp_client(const char *host, uint16_t port, Reader *reader, Writer *writer);
+/* Non-aborting variants of the open calls: return false on failure. */
+bool reader_try_open_file(Reader *reader, const char *path);
+bool writer_try_open_file(Writer *writer, const char *path);
 
 #ifdef __cplusplus
 } /* extern "C" */

@@ -32,6 +32,7 @@
 #include <memory>
 #include <mutex>
 #include <thread>
+#include <string>
 #include <vector>
 
 namespace {
@@ -176,15 +177,31 @@ struct ReaderImpl {
     }
   }
 
-  // drain: keep only the newest pending frame (c_api/src/reader.rs:51-63)
+  // pop one frame without blocking
   // returns: 0 = nothing pending, 1 = got frame, -1 = disconnected & empty
-  int pop_last(std::vector<uint8_t> &out) {
+  int pop_nonblocking(std::vector<uint8_t> &out) {
     std::lock_guard<std::mutex> lock(mu);
     if (queue.empty()) return disconnected.load() ? -1 : 0;
-    out = std::move(queue.back());
-    queue.clear();
+    out = std::move(queue.front());
+    queue.pop_front();
     cv_pop.notify_one();
     return 1;
+  }
+
+  // drain: keep only the newest pending frame (c_api/src/reader.rs:51-63).
+  // `got` = whether a frame was taken; returns the post-drain channel state
+  // (false = disconnected) — the reference's drain always runs to the
+  // empty/Err case, so its result reflects that state even when a frame was
+  // taken on the way.
+  bool pop_last(std::vector<uint8_t> &out, bool &got) {
+    std::lock_guard<std::mutex> lock(mu);
+    got = !queue.empty();
+    if (got) {
+      out = std::move(queue.back());
+      queue.clear();
+      cv_pop.notify_one();
+    }
+    return !disconnected.load();
   }
 };
 
@@ -211,33 +228,35 @@ void frame_into(std::vector<uint8_t> &bytes, Frame *frame) {
 
 extern "C" {
 
-size_t packet_size(uint32_t particle_count) {
+uintptr_t packet_size(uint32_t particle_count) {
   return sizeof(FrameHeader) + sizeof(Particle) * static_cast<size_t>(particle_count);
 }
 
-void frame_header_init(FrameHeader *header) {
-  std::memset(header, 0, sizeof(*header));
-  std::memcpy(header->signature_start, kSigStart, 4);
-  std::memcpy(header->signature_end, kSigEnd, 4);
+FrameHeader frame_header_init(void) {
+  FrameHeader header;
+  std::memset(&header, 0, sizeof(header));
+  std::memcpy(header.signature_start, kSigStart, 4);
+  std::memcpy(header.signature_end, kSigEnd, 4);
   // defaults (reference: particle_io/src/particle.rs:132-165)
-  header->metadata.particles[0] = {3.609e-10f, 105.79f * 1.380649e-23f, 14.08f, 6.0f};  // N2
-  header->metadata.particles[1] = {3.404e-10f, 117.84f * 1.380649e-23f, 12.085f, 6.0f}; // Ar
-  header->metadata.cursor_pos[0] = -1.0f;
-  header->metadata.cursor_pos[1] = -1.0f;
-  header->metadata.cursor_size = 0.05f;
-  header->metadata.step_dt = 50e-15f;
-  header->metadata.steps_per_frame = 100;
-  header->metadata.box_width = 50e-9f;
-  header->metadata.box_height = 50e-9f;
-  header->metadata.data_structure = 1;  // MatrixBuckets
-  header->metadata.device = 0;          // accelerator
-  header->metadata.gpu_threads_per_block_log2 = 7;
+  header.metadata.particles[0] = {3.609e-10f, 105.79f * 1.380649e-23f, 14.08f, 6.0f};  // N2
+  header.metadata.particles[1] = {3.404e-10f, 117.84f * 1.380649e-23f, 12.085f, 6.0f}; // Ar
+  header.metadata.cursor_pos[0] = -1.0f;
+  header.metadata.cursor_pos[1] = -1.0f;
+  header.metadata.cursor_size = 0.05f;
+  header.metadata.step_dt = 50e-15f;
+  header.metadata.steps_per_frame = 100;
+  header.metadata.box_width = 50e-9f;
+  header.metadata.box_height = 50e-9f;
+  header.metadata.data_structure = 1;  // MatrixBuckets
+  header.metadata.device = 0;          // accelerator
+  header.metadata.gpu_threads_per_block_log2 = 7;
+  return header;
 }
 
 Frame frame_new(uint32_t particle_capacity) {
   Frame f = alloc_frame(packet_size(particle_capacity));
   f.len = sizeof(FrameHeader);
-  frame_header_init(f.ptr);
+  *f.ptr = frame_header_init();
   return f;
 }
 
@@ -273,43 +292,45 @@ void frame_push(Frame *frame, Particle particle) {
   frame->ptr->particle_count += 1;
 }
 
-void frame_compact(Frame *frame) {
-  Particle *parts = frame_particles(frame);
-  uint32_t n = frame->ptr->particle_count;
+void frame_compact(FrameHeader *frame) {
+  Particle *parts =
+      reinterpret_cast<Particle *>(reinterpret_cast<uint8_t *>(frame) + sizeof(FrameHeader));
+  uint32_t n = frame->particle_count;
   uint32_t kept = 0;
   for (uint32_t i = 0; i < n; ++i) {
     if (parts[i].ty >= 0) parts[kept++] = parts[i];
   }
-  frame->ptr->particle_count = kept;
-  frame->len = packet_size(kept);
+  frame->particle_count = kept;
 }
 
-void frame_compact_into(const Frame *src, Frame *dst) {
-  uint32_t n = src->ptr->particle_count;
-  ensure_capacity(dst, packet_size(n));
-  std::memcpy(dst->ptr, src->ptr, sizeof(FrameHeader));
+void frame_compact_into(FrameHeader *frame, FrameHeader *dst) {
+  // metadata copied, dst's signatures left as-is (particle.rs:371-379)
+  dst->metadata = frame->metadata;
   const Particle *sp = reinterpret_cast<const Particle *>(
-      reinterpret_cast<const uint8_t *>(src->ptr) + sizeof(FrameHeader));
-  Particle *dp = frame_particles(dst);
+      reinterpret_cast<const uint8_t *>(frame) + sizeof(FrameHeader));
+  Particle *dp =
+      reinterpret_cast<Particle *>(reinterpret_cast<uint8_t *>(dst) + sizeof(FrameHeader));
+  uint32_t n = frame->particle_count;
   uint32_t kept = 0;
   for (uint32_t i = 0; i < n; ++i) {
     if (sp[i].ty >= 0) dp[kept++] = sp[i];
   }
-  dst->ptr->particle_count = kept;
-  dst->len = packet_size(kept);
+  dst->particle_count = kept;
 }
 
-void frame_print(const Frame *frame) {
+void frame_print(FrameHeader *frame) {
   std::fprintf(stderr, "--- Frame ---\n");
-  if (!frame_is_valid(frame)) std::fprintf(stderr, "  signature error\n");
-  const FrameMetadata &m = frame->ptr->metadata;
+  if (std::memcmp(frame->signature_start, kSigStart, 4) != 0 ||
+      std::memcmp(frame->signature_end, kSigEnd, 4) != 0)
+    std::fprintf(stderr, "  signature error\n");
+  const FrameMetadata &m = frame->metadata;
   std::fprintf(stderr, "  step dt = %g\n", m.step_dt);
   std::fprintf(stderr, "  steps per frame = %u\n", m.steps_per_frame);
   std::fprintf(stderr, "  box size = (%g, %g)\n", m.box_width, m.box_height);
-  uint32_t n = frame->ptr->particle_count;
+  uint32_t n = frame->particle_count;
   std::fprintf(stderr, "  particles[%u]\n", n);
   const Particle *parts = reinterpret_cast<const Particle *>(
-      reinterpret_cast<const uint8_t *>(frame->ptr) + sizeof(FrameHeader));
+      reinterpret_cast<const uint8_t *>(frame) + sizeof(FrameHeader));
   for (uint32_t i = 0; i < n && i < 5; ++i) {
     std::fprintf(stderr, "    [%u] = x=%.2f%% y=%.2f%% vx=%g vy=%g ty=%d\n", i,
                  100.0 * parts[i].x / 4294967295.0, 100.0 * parts[i].y / 4294967295.0,
@@ -318,11 +339,11 @@ void frame_print(const Frame *frame) {
   std::fprintf(stderr, "-------------\n");
 }
 
-bool particle_is_null(const Particle *particle) { return particle->ty < 0; }
+bool particle_is_null(Particle particle) { return particle.ty < 0; }
 
 // ---- reader ----
 
-bool reader_open_file(Reader *reader, const char *path) {
+bool reader_try_open_file(Reader *reader, const char *path) {
   FILE *fp = std::fopen(path, "rb");
   if (fp == nullptr) return false;
   auto *stream = new Stream();
@@ -332,19 +353,40 @@ bool reader_open_file(Reader *reader, const char *path) {
   return true;
 }
 
-bool reader_read(Reader *reader, Frame *frame) {
+void reader_open_file(Reader *reader, const char *path) {
+  if (!reader_try_open_file(reader, path)) {
+    // the reference unwraps here (c_api/src/reader.rs:18-26): abort
+    std::fprintf(stderr, "[particle_io] reader_open_file(%s) failed\n", path);
+    std::abort();
+  }
+}
+
+Frame reader_read(Reader *reader) {
+  std::vector<uint8_t> bytes;
+  if (reader_slot(reader)->pop_nonblocking(bytes) != 1) return Frame{nullptr, 0, 0};
+  Frame f = alloc_frame(bytes.size());
+  std::memcpy(f.ptr, bytes.data(), bytes.size());
+  return f;
+}
+
+bool reader_read_blocking(Reader *reader, Frame *frame) {
   std::vector<uint8_t> bytes;
   if (!reader_slot(reader)->pop_blocking(bytes)) return false;
   frame_into(bytes, frame);
   return true;
 }
 
-bool reader_read_last(Reader *reader, Frame *frame, bool *got) {
+bool reader_read_last(Reader *reader, Frame *frame) {
   std::vector<uint8_t> bytes;
-  int r = reader_slot(reader)->pop_last(bytes);
-  *got = (r == 1);
-  if (r == 1) frame_into(bytes, frame);
-  return r >= 0;
+  bool got = false;
+  bool connected = reader_slot(reader)->pop_last(bytes, got);
+  if (got) {
+    *frame = alloc_frame(bytes.size());
+    std::memcpy(frame->ptr, bytes.data(), bytes.size());
+  } else {
+    *frame = Frame{nullptr, 0, 0};
+  }
+  return connected;
 }
 
 void reader_destroy(Reader *reader) {
@@ -354,7 +396,7 @@ void reader_destroy(Reader *reader) {
 
 // ---- writer ----
 
-bool writer_open_file(Writer *writer, const char *path) {
+bool writer_try_open_file(Writer *writer, const char *path) {
   FILE *fp = std::fopen(path, "wb");
   if (fp == nullptr) return false;
   auto *stream = new Stream();
@@ -364,8 +406,17 @@ bool writer_open_file(Writer *writer, const char *path) {
   return true;
 }
 
-bool writer_write(Writer *writer, const Frame *frame) {
-  if (!writer_slot(writer)->stream->write_all(frame->ptr, frame->len)) {
+void writer_open_file(Writer *writer, const char *path) {
+  if (!writer_try_open_file(writer, path)) {
+    // the reference unwraps here (c_api/src/writer.rs:21-29): abort
+    std::fprintf(stderr, "[particle_io] writer_open_file(%s) failed\n", path);
+    std::abort();
+  }
+}
+
+bool writer_write(Writer *writer, FrameHeader *frame) {
+  size_t total = packet_size(frame->particle_count);
+  if (!writer_slot(writer)->stream->write_all(frame, total)) {
     std::fprintf(stderr, "[particle_io] write error\n");
     return false;
   }
@@ -379,14 +430,21 @@ void writer_destroy(Writer *writer) {
 
 // ---- TCP ----
 
-bool new_tcp_client(const char *host, uint16_t port, Reader *reader, Writer *writer) {
+bool new_tcp_client(Reader *reader, Writer *writer, const char *addr) {
+  // split "host:port" at the last colon (tcp.rs's ToSocketAddrs form)
+  const char *colon = std::strrchr(addr, ':');
+  if (colon == nullptr || colon == addr) {
+    std::fprintf(stderr, "[particle_io] bad address '%s' (want host:port)\n", addr);
+    return false;
+  }
+  std::string host(addr, colon - addr);
+  const char *port_str = colon + 1;
+
   addrinfo hints{};
   hints.ai_family = AF_INET;
   hints.ai_socktype = SOCK_STREAM;
-  char port_str[8];
-  std::snprintf(port_str, sizeof(port_str), "%u", port);
   addrinfo *res = nullptr;
-  if (::getaddrinfo(host, port_str, &hints, &res) != 0) return false;
+  if (::getaddrinfo(host.c_str(), port_str, &hints, &res) != 0) return false;
   int fd = -1;
   for (addrinfo *ai = res; ai != nullptr; ai = ai->ai_next) {
     fd = ::socket(ai->ai_family, ai->ai_socktype, ai->ai_protocol);

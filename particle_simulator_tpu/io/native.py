@@ -52,9 +52,15 @@ class CParticle(ctypes.Structure):
 
 
 def build(force: bool = False) -> Path:
-    """Build the native library if needed; returns the .so path."""
-    if force or not _LIB_PATH.exists():
-        subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+    """Build the native library if needed; returns the .so path.
+
+    Always invokes make (cheap no-op when current) so a stale .so can never
+    shadow edited sources."""
+    if force:
+        subprocess.run(
+            ["make", "-C", str(_NATIVE_DIR), "clean"], check=True, capture_output=True
+        )
+    subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
     return _LIB_PATH
 
 
@@ -68,12 +74,42 @@ def load() -> ctypes.CDLL:
         return _lib
     lib = ctypes.CDLL(str(build()))
 
+    # -- reference-identical surface (particle_io/c_api) -----------------------
     lib.packet_size.restype = ctypes.c_size_t
     lib.packet_size.argtypes = [ctypes.c_uint32]
-    lib.frame_header_init.argtypes = [ctypes.c_void_p]
+    lib.frame_destroy.argtypes = [ctypes.POINTER(CFrame)]
+    # frame_print / frame_compact / frame_compact_into / writer_write take the
+    # raw FrameHeader* of the packet buffer (length implied by particle_count)
+    lib.frame_compact.argtypes = [ctypes.c_void_p]
+    lib.frame_compact_into.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
+    lib.frame_print.argtypes = [ctypes.c_void_p]
+    lib.particle_is_null.restype = ctypes.c_bool
+    lib.particle_is_null.argtypes = [CParticle]
+
+    lib.reader_open_file.restype = None
+    lib.reader_open_file.argtypes = [ctypes.POINTER(CReader), ctypes.c_char_p]
+    lib.reader_read.restype = CFrame
+    lib.reader_read.argtypes = [ctypes.POINTER(CReader)]
+    lib.reader_read_last.restype = ctypes.c_bool
+    lib.reader_read_last.argtypes = [ctypes.POINTER(CReader), ctypes.POINTER(CFrame)]
+    lib.reader_destroy.argtypes = [ctypes.POINTER(CReader)]
+
+    lib.writer_open_file.restype = None
+    lib.writer_open_file.argtypes = [ctypes.POINTER(CWriter), ctypes.c_char_p]
+    lib.writer_write.restype = ctypes.c_bool
+    lib.writer_write.argtypes = [ctypes.POINTER(CWriter), ctypes.c_void_p]
+    lib.writer_destroy.argtypes = [ctypes.POINTER(CWriter)]
+
+    lib.new_tcp_client.restype = ctypes.c_bool
+    lib.new_tcp_client.argtypes = [
+        ctypes.POINTER(CReader),
+        ctypes.POINTER(CWriter),
+        ctypes.c_char_p,
+    ]
+
+    # -- extensions -------------------------------------------------------------
     lib.frame_new.restype = CFrame
     lib.frame_new.argtypes = [ctypes.c_uint32]
-    lib.frame_destroy.argtypes = [ctypes.POINTER(CFrame)]
     lib.frame_particles.restype = ctypes.POINTER(CParticle)
     lib.frame_particles.argtypes = [ctypes.POINTER(CFrame)]
     lib.frame_metadata.restype = ctypes.c_void_p
@@ -83,37 +119,12 @@ def load() -> ctypes.CDLL:
     lib.frame_is_valid.restype = ctypes.c_bool
     lib.frame_is_valid.argtypes = [ctypes.POINTER(CFrame)]
     lib.frame_push.argtypes = [ctypes.POINTER(CFrame), CParticle]
-    lib.frame_compact.argtypes = [ctypes.POINTER(CFrame)]
-    lib.frame_compact_into.argtypes = [ctypes.POINTER(CFrame), ctypes.POINTER(CFrame)]
-    lib.frame_print.argtypes = [ctypes.POINTER(CFrame)]
-    lib.particle_is_null.restype = ctypes.c_bool
-    lib.particle_is_null.argtypes = [ctypes.POINTER(CParticle)]
-
-    lib.reader_open_file.restype = ctypes.c_bool
-    lib.reader_open_file.argtypes = [ctypes.POINTER(CReader), ctypes.c_char_p]
-    lib.reader_read.restype = ctypes.c_bool
-    lib.reader_read.argtypes = [ctypes.POINTER(CReader), ctypes.POINTER(CFrame)]
-    lib.reader_read_last.restype = ctypes.c_bool
-    lib.reader_read_last.argtypes = [
-        ctypes.POINTER(CReader),
-        ctypes.POINTER(CFrame),
-        ctypes.POINTER(ctypes.c_bool),
-    ]
-    lib.reader_destroy.argtypes = [ctypes.POINTER(CReader)]
-
-    lib.writer_open_file.restype = ctypes.c_bool
-    lib.writer_open_file.argtypes = [ctypes.POINTER(CWriter), ctypes.c_char_p]
-    lib.writer_write.restype = ctypes.c_bool
-    lib.writer_write.argtypes = [ctypes.POINTER(CWriter), ctypes.POINTER(CFrame)]
-    lib.writer_destroy.argtypes = [ctypes.POINTER(CWriter)]
-
-    lib.new_tcp_client.restype = ctypes.c_bool
-    lib.new_tcp_client.argtypes = [
-        ctypes.c_char_p,
-        ctypes.c_uint16,
-        ctypes.POINTER(CReader),
-        ctypes.POINTER(CWriter),
-    ]
+    lib.reader_read_blocking.restype = ctypes.c_bool
+    lib.reader_read_blocking.argtypes = [ctypes.POINTER(CReader), ctypes.POINTER(CFrame)]
+    lib.reader_try_open_file.restype = ctypes.c_bool
+    lib.reader_try_open_file.argtypes = [ctypes.POINTER(CReader), ctypes.c_char_p]
+    lib.writer_try_open_file.restype = ctypes.c_bool
+    lib.writer_try_open_file.argtypes = [ctypes.POINTER(CWriter), ctypes.c_char_p]
 
     _lib = lib
     return lib

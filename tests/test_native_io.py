@@ -84,11 +84,30 @@ def test_compact_matches_python():
     py.particles["ty"][::3] = -1  # tombstone a third
     cframe = native.cframe_from_pyframe(py)
     try:
-        lib.frame_compact(ctypes.byref(cframe))
+        lib.frame_compact(cframe.ptr)  # reference ABI: in place on the header ptr
         py.compact()
+        # length is implied by the compacted particle_count
+        cframe.len = lib.packet_size(lib.frame_particle_count(ctypes.byref(cframe)))
         assert native.frame_bytes(cframe) == py.bytes
     finally:
         lib.frame_destroy(ctypes.byref(cframe))
+
+
+def test_compact_into_matches_python():
+    lib = native.load()
+    py = lattice_frame()
+    py.particles["ty"][1::2] = -1
+    src = native.cframe_from_pyframe(py)
+    dst = lib.frame_new(py.particle_count)
+    try:
+        lib.frame_compact_into(src.ptr, dst.ptr)
+        compacted = py.copy() if hasattr(py, "copy") else Frame.from_bytes(py.bytes)
+        compacted.compact()
+        dst.len = lib.packet_size(lib.frame_particle_count(ctypes.byref(dst)))
+        assert native.frame_bytes(dst) == compacted.bytes
+    finally:
+        lib.frame_destroy(ctypes.byref(src))
+        lib.frame_destroy(ctypes.byref(dst))
 
 
 def test_file_writer_reader_roundtrip(tmp_path):
@@ -97,24 +116,59 @@ def test_file_writer_reader_roundtrip(tmp_path):
 
     frames = [lattice_frame(4), lattice_frame(5), Frame.new()]
     writer = native.CWriter()
-    assert lib.writer_open_file(ctypes.byref(writer), path)
+    lib.writer_open_file(ctypes.byref(writer), path)  # void; aborts on failure
     for f in frames:
         cf = native.cframe_from_pyframe(f)
-        assert lib.writer_write(ctypes.byref(writer), ctypes.byref(cf))
+        assert lib.writer_write(ctypes.byref(writer), cf.ptr)
         lib.frame_destroy(ctypes.byref(cf))
     lib.writer_destroy(ctypes.byref(writer))
 
     reader = native.CReader()
-    assert lib.reader_open_file(ctypes.byref(reader), path)
+    lib.reader_open_file(ctypes.byref(reader), path)
     out = lib.frame_new(0)
     try:
         for f in frames:
-            assert lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+            assert lib.reader_read_blocking(ctypes.byref(reader), ctypes.byref(out))
             assert native.frame_bytes(out) == f.bytes
         # exhausted stream -> disconnect
-        assert not lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+        assert not lib.reader_read_blocking(ctypes.byref(reader), ctypes.byref(out))
     finally:
         lib.frame_destroy(ctypes.byref(out))
+        lib.reader_destroy(ctypes.byref(reader))
+
+
+def test_reader_read_nonblocking_returns_null_frame_when_empty(tmp_path):
+    """reader_read is the reference's non-blocking single read: a fresh
+    allocation when a frame is pending, the null frame otherwise."""
+    lib = native.load()
+    path = str(tmp_path / "frames.bin").encode()
+    scene = lattice_frame(3)
+    writer = native.CWriter()
+    lib.writer_open_file(ctypes.byref(writer), path)
+    cf = native.cframe_from_pyframe(scene)
+    assert lib.writer_write(ctypes.byref(writer), cf.ptr)
+    lib.frame_destroy(ctypes.byref(cf))
+    lib.writer_destroy(ctypes.byref(writer))
+
+    reader = native.CReader()
+    lib.reader_open_file(ctypes.byref(reader), path)
+    try:
+        deadline = time.monotonic() + 5
+        got = None
+        while time.monotonic() < deadline:
+            out = lib.reader_read(ctypes.byref(reader))
+            if out.ptr:
+                got = out
+                break
+            assert out.len == 0 and out.cap == 0
+            time.sleep(0.002)
+        assert got is not None, "frame never arrived"
+        assert native.frame_bytes(got) == scene.bytes
+        lib.frame_destroy(ctypes.byref(got))
+        # drained: back to the null frame
+        empty = lib.reader_read(ctypes.byref(reader))
+        assert not empty.ptr
+    finally:
         lib.reader_destroy(ctypes.byref(reader))
 
 
@@ -123,29 +177,30 @@ def test_reader_read_last_newest_wins(tmp_path):
     path = str(tmp_path / "frames.bin").encode()
     frames = [lattice_frame(3), lattice_frame(4), lattice_frame(6)]
     writer = native.CWriter()
-    assert lib.writer_open_file(ctypes.byref(writer), path)
+    lib.writer_open_file(ctypes.byref(writer), path)
     for f in frames:
         cf = native.cframe_from_pyframe(f)
-        lib.writer_write(ctypes.byref(writer), ctypes.byref(cf))
+        lib.writer_write(ctypes.byref(writer), cf.ptr)
         lib.frame_destroy(ctypes.byref(cf))
     lib.writer_destroy(ctypes.byref(writer))
 
     reader = native.CReader()
-    assert lib.reader_open_file(ctypes.byref(reader), path)
-    out = lib.frame_new(0)
-    got = ctypes.c_bool(False)
+    lib.reader_open_file(ctypes.byref(reader), path)
     try:
         deadline = time.monotonic() + 5
         while time.monotonic() < deadline:
-            ok = lib.reader_read_last(ctypes.byref(reader), ctypes.byref(out), ctypes.byref(got))
-            if got.value and native.frame_bytes(out) == frames[-1].bytes:
+            out = native.CFrame(None, 0, 0)
+            connected = lib.reader_read_last(ctypes.byref(reader), ctypes.byref(out))
+            if out.ptr and native.frame_bytes(out) == frames[-1].bytes:
+                lib.frame_destroy(ctypes.byref(out))
                 return  # newest frame won
-            if not ok and not got.value:
+            if out.ptr:
+                lib.frame_destroy(ctypes.byref(out))
+            elif not connected:
                 pytest.fail("stream ended before newest frame arrived")
             time.sleep(0.002)
         pytest.fail("never saw the newest frame")
     finally:
-        lib.frame_destroy(ctypes.byref(out))
         lib.reader_destroy(ctypes.byref(reader))
 
 
@@ -178,15 +233,14 @@ def test_tcp_client_against_python_server():
 
     reader = native.CReader()
     writer = native.CWriter()
-    assert lib.new_tcp_client(
-        b"127.0.0.1", server.addr[1], ctypes.byref(reader), ctypes.byref(writer)
-    )
+    addr = f"127.0.0.1:{server.addr[1]}".encode()
+    assert lib.new_tcp_client(ctypes.byref(reader), ctypes.byref(writer), addr)
     out = lib.frame_new(0)
     try:
-        assert lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+        assert lib.reader_read_blocking(ctypes.byref(reader), ctypes.byref(out))
         assert native.frame_bytes(out) == scene.bytes
         # echo it back
-        assert lib.writer_write(ctypes.byref(writer), ctypes.byref(out))
+        assert lib.writer_write(ctypes.byref(writer), out.ptr)
         t.join(timeout=15)
         assert received["frame"].bytes == scene.bytes
     finally:
@@ -207,11 +261,58 @@ def test_corrupt_signature_skipped(tmp_path):
     path.write_bytes(bytes(bad) + good.bytes)
 
     reader = native.CReader()
-    assert lib.reader_open_file(ctypes.byref(reader), str(path).encode())
+    assert lib.reader_try_open_file(ctypes.byref(reader), str(path).encode())
     out = lib.frame_new(0)
     try:
-        assert lib.reader_read(ctypes.byref(reader), ctypes.byref(out))
+        assert lib.reader_read_blocking(ctypes.byref(reader), ctypes.byref(out))
         assert native.frame_bytes(out) == good.bytes
     finally:
         lib.frame_destroy(ctypes.byref(out))
         lib.reader_destroy(ctypes.byref(reader))
+
+
+def test_reference_frontend_call_sequence_end_to_end():
+    """The compiled native host (native/tests/frontend_host.cpp) uses the exact
+    call sequence of the reference simulator's frontend (frontend.hpp:24-56):
+    new_tcp_client("host:port"), reader_read_last null-ptr protocol,
+    frame_compact + writer_write on raw FrameHeader*. It must receive a scene
+    from the Python editor-side server and echo it back compacted."""
+    import subprocess
+    from pathlib import Path
+
+    native.build()
+    host = Path(native._NATIVE_DIR) / "build" / "frontend_host"
+    assert host.exists()
+
+    server = new_tcp_server(("127.0.0.1", 0))
+    try:
+        proc = subprocess.Popen(
+            [str(host), f"127.0.0.1:{server.addr[1]}"],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        conn = None
+        deadline = time.monotonic() + 10
+        while conn is None and time.monotonic() < deadline:
+            conn = server.try_accept()
+            time.sleep(0.005)
+        assert conn, "native host never connected"
+        reader, writer = conn
+
+        scene = lattice_frame(5)
+        scene.particles["ty"][::2] = -1  # tombstones: the echo must compact them
+        assert writer.write(scene)
+
+        echo = None
+        deadline = time.monotonic() + 10
+        while echo is None and time.monotonic() < deadline:
+            echo = reader.read()
+            time.sleep(0.002)
+        assert echo is not None, "native host never echoed"
+
+        expected = Frame.from_bytes(scene.bytes)
+        expected.compact()
+        assert echo.bytes == expected.bytes
+        assert proc.wait(timeout=10) == 0
+    finally:
+        server.close()
