@@ -61,6 +61,7 @@ class Editor:
         # stats surface (editor.rs:1228-1289)
         self.frames_received = 0
         self.last_scene: Optional[Frame] = None
+        self._edit_frame: Optional[Frame] = None
 
     # -- interactive mode (editor.rs:223-229) ---------------------------------
     def at_live_edge(self, slack: float = 1e-18) -> bool:
@@ -149,6 +150,15 @@ class Editor:
     def current_frame(self) -> Optional[Frame]:
         got = self.timeline.frame(self.play_time)
         return got[0] if got else None
+
+    def display_frame(self) -> tuple[Optional[Frame], float]:
+        """(frame to draw, its sim time): the in-progress edit while editing
+        (the reference previews the edited copy, editor.rs:481-738), otherwise
+        the timeline frame at the playhead."""
+        if self.editing and self._edit_frame is not None:
+            return self._edit_frame, self.play_time
+        got = self.timeline.frame(self.play_time)
+        return (got[0], got[1]) if got else (None, 0.0)
 
     # -- scene actions (editor.rs:740-790, 928-942) ------------------------------
     def send_scene(self, frame: Frame) -> None:

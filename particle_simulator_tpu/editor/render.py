@@ -109,7 +109,11 @@ def render_frame(
         mean_color = np.zeros((npix, 3), np.float32)
         mean_color[hit] = acc[hit] / count[hit, None]
         if add:
-            img = img.reshape(npix, 3) + acc
+            # Add blend subtracts the background from each particle color
+            # before accumulation (shader.wgsl:124 + graphics.rs:319-327):
+            # out = bg + sum(color_i - bg), not bg + sum(color_i)
+            bg = np.asarray(background, dtype=np.float32)
+            img = img.reshape(npix, 3) + acc - count[:, None] * bg[None, :]
         else:
             img = np.where(hit[:, None], mean_color, img.reshape(npix, 3))
         return (np.clip(img.reshape(height, width, 3), 0.0, 1.0) * 255.0).astype(np.uint8)
@@ -136,7 +140,8 @@ def render_frame(
                 spec = max(0.0, float(normal @ light)) ** 16
                 c = np.clip(c * diff + spec * 0.6, 0.0, 1.0)
             if add:
-                np.add.at(img, (gy[ok], gx[ok]), c)
+                # background-subtracted additive blend (shader.wgsl:124)
+                np.add.at(img, (gy[ok], gx[ok]), c - np.asarray(background, np.float32))
             else:
                 img[gy[ok], gx[ok]] = c
     return (np.clip(img, 0.0, 1.0) * 255.0).astype(np.uint8)

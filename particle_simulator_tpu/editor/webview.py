@@ -2,11 +2,21 @@
 
 The reference editor is a native winit/wgpu/egui app (particle_editor/) — a
 TPU host is headless, so the interactive surface here is a small stdlib HTTP
-server around the same ``Editor`` core: the browser canvas shows the
-velocity-heatmap rendering, the mouse applies the cursor force, and the
-controls drive playback/scene actions. Everything the reference's panels do
-is reachable: play/pause/speed/seek (bottom panel), lattice/clear/disconnect
-(editor panel), live physics parameters (parameters panel), stats.
+server around the same ``Editor`` core, with the browser doing the GPU work:
+
+- **Rendering**: particles ship to the browser as a compact binary payload
+  (``/frame.bin``: 8 bytes/particle) and render client-side in ONE WebGL
+  point-sprite draw call — the analog of the reference's single instanced
+  quad draw (graphics.rs:311) — with velocity extrapolation between engine
+  frames done in the vertex shader (shader.wgsl:96) and the same
+  log-speed blue->red color ramp (shader.wgsl:94,100). This is what makes
+  1M+ particles interactive; the server-side PNG path (``/frame.png``)
+  remains as a no-WebGL fallback.
+- **Editing**: the full toolbar (editor.rs:1443-1607) — brush/eraser/speed/
+  clear with stroke w x h, square/hex grid, angle knob, random angle — is
+  wired to ``/tool``; presets CRUD (editor.rs:961-1083) to ``/presets`` +
+  control actions; "Edit & Resend current" (editor.rs:1087-1095) and the
+  keyboard shortcuts (editor.rs:740-790) work from the browser.
 
 Run (engine in another terminal):
     python -m particle_simulator_tpu.editor.webview --http 127.0.0.1:8700
@@ -31,21 +41,42 @@ import numpy as np
 from particle_simulator_tpu.editor.backend import Backend
 from particle_simulator_tpu.editor.core import Editor
 from particle_simulator_tpu.editor.render import render_frame
+from particle_simulator_tpu.editor.tools import (
+    LatticeKind,
+    Stroke,
+    Tool,
+    ToolOptions,
+    lattice_resolution,
+)
+_BIN_MAGIC = 0x4E494250  # "PBIN" little-endian
+_BIN_HEADER = struct.Struct("<IIfffffffI")  # 40 bytes
+
 
 _PAGE = """<!DOCTYPE html>
 <html><head><title>particle_simulator_tpu</title><style>
 body { background: #101018; color: #cfd2e0; font-family: monospace; margin: 0; display: flex; }
-#side { width: 300px; padding: 12px; }
-#canvas { image-rendering: pixelated; cursor: crosshair; margin: 12px; border: 1px solid #333; }
+#side { width: 320px; padding: 12px; overflow-y: auto; height: 100vh; box-sizing: border-box; }
+#view { position: relative; margin: 12px; }
+canvas { position: absolute; left: 0; top: 0; }
+#glcanvas { border: 1px solid #333; background: #0d0d14; }
+#overlay { pointer-events: none; }
+#viewbox { position: relative; cursor: crosshair; }
 button { background: #26263a; color: #cfd2e0; border: 1px solid #444; margin: 2px; padding: 4px 10px; cursor: pointer; }
+button.on { background: #3a5a3a; border-color: #6a6; }
 input[type=range] { width: 100%; }
+input[type=text] { background: #1a1a28; color: #cfd2e0; border: 1px solid #444; width: 120px; }
 label { display: block; margin-top: 8px; font-size: 12px; }
-#stats { white-space: pre; font-size: 11px; margin-top: 12px; color: #8f93a8; }
+h4 { margin: 14px 0 4px 0; border-bottom: 1px solid #333; }
+#stats { white-space: pre-wrap; font-size: 11px; margin-top: 12px; color: #8f93a8; }
+#fps { position: absolute; right: 6px; top: 4px; color: #8f93a8; font-size: 12px; z-index: 3; }
+.preset { font-size: 12px; margin: 2px 0; }
+.preset button { padding: 1px 6px; font-size: 11px; }
+kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
 </style></head><body>
 <div id="side">
   <h3>particle simulator (TPU)</h3>
   <div>
-    <button onclick="ctl('toggle_play')">play/pause</button>
+    <button id="b_play" onclick="ctl('toggle_play')">play/pause</button>
     <button onclick="ctl('seek_live')">live</button>
     <button onclick="ctl('lattice')">lattice</button>
     <button onclick="ctl('clear')">clear</button>
@@ -55,6 +86,36 @@ label { display: block; margin-top: 8px; font-size: 12px; }
     oninput="ctl('speed', {value: Math.pow(10, this.value)})"></label>
   <label>seek <input type="range" id="seek" min="0" max="1000" value="1000"
     oninput="ctl('seek_frac', {value: this.value / 1000})"></label>
+
+  <h4>tools</h4>
+  <div id="toolbar">
+    <button class="tool on" data-tool="cursor">cursor</button>
+    <button class="tool" data-tool="brush">brush</button>
+    <button class="tool" data-tool="eraser">eraser</button>
+    <button class="tool" data-tool="speed">speed</button>
+  </div>
+  <label>stroke width (cells) <input type="range" id="tw" min="1" max="40" step="1" value="6"></label>
+  <label>stroke height (cells) <input type="range" id="th" min="1" max="40" step="1" value="6"></label>
+  <label>grid
+    <select id="tlattice"><option value="hex" selected>hexagonal</option><option value="square">square</option></select>
+  </label>
+  <label>velocity (m/s) <input type="range" id="tvel" min="0" max="1000" step="5" value="0"></label>
+  <label><input type="checkbox" id="trandom" checked> random angle</label>
+  <label>angle (deg) <input type="range" id="tangle" min="0" max="360" step="1" value="90"></label>
+  <label>species <select id="tty"><option value="0" selected>0</option><option value="1">1</option></select></label>
+  <div>
+    <button onclick="ctl('edit_resend'); setTool('cursor')">edit &amp; resend</button>
+    <button onclick="ctl('edit_cancel'); setTool('cursor')">cancel edit</button>
+  </div>
+
+  <h4>presets</h4>
+  <div>
+    <input type="text" id="pname" placeholder="name">
+    <button onclick="presetSave()">save current</button>
+  </div>
+  <div id="presets"></div>
+
+  <h4>parameters</h4>
   <label>cursor size <input type="range" id="csize" min="0.01" max="0.5" step="0.01" value="0.05"
     oninput="param('cursor_size', parseFloat(this.value))"></label>
   <label>dt (fs) <input type="range" id="dt" min="1" max="100" step="1" value="50"
@@ -81,44 +142,253 @@ label { display: block; margin-top: 8px; font-size: 12px; }
       <option value="2">CPU Main Thread</option>
     </select></label>
   <div id="stats"></div>
+  <div style="font-size:11px;color:#666;margin-top:8px">
+    <kbd>space</kbd> play <kbd>&larr;&rarr;</kbd> seek <kbd>L</kbd> lattice
+    <kbd>C</kbd> clear <kbd>D</kbd> disconnect <kbd>B</kbd>rush <kbd>E</kbd>raser
+    <kbd>S</kbd>peed <kbd>V</kbd> cursor <kbd>enter</kbd> resend <kbd>esc</kbd> cancel
+  </div>
 </div>
-<canvas id="canvas" width="640" height="640"></canvas>
+<div id="view">
+  <div id="viewbox" style="width:720px;height:720px">
+    <canvas id="glcanvas" width="720" height="720"></canvas>
+    <canvas id="overlay" width="720" height="720"></canvas>
+    <div id="fps"></div>
+  </div>
+</div>
 <script>
-const canvas = document.getElementById('canvas');
-const ctx = canvas.getContext('2d');
-let down = false;
-function post(url, body) { fetch(url, {method: 'POST', body: JSON.stringify(body || {})}); }
-function ctl(action, extra) { post('/control', Object.assign({action}, extra)); }
+'use strict';
+const W = 720, H = 720;
+const glc = document.getElementById('glcanvas');
+const overlay = document.getElementById('overlay');
+const octx = overlay.getContext('2d');
+const viewbox = document.getElementById('viewbox');
+const gl = glc.getContext('webgl', {antialias: false, preserveDrawingBuffer: true});
+
+function post(url, body) { return fetch(url, {method: 'POST', body: JSON.stringify(body || {})}); }
+function ctl(action, extra) { return post('/control', Object.assign({action}, extra)); }
 function param(name, value) { post('/params', {[name]: value}); }
-function cursor(e, isDown) {
-  const r = canvas.getBoundingClientRect();
-  post('/cursor', {x: (e.clientX - r.left) / r.width, y: 1 - (e.clientY - r.top) / r.height, down: isDown});
+
+// ---- tools ----
+let activeTool = 'cursor';
+function setTool(t) {
+  activeTool = t;
+  document.querySelectorAll('#toolbar .tool').forEach(b =>
+    b.classList.toggle('on', b.dataset.tool === t));
 }
-canvas.onmousedown = e => { down = true; cursor(e, true); };
-canvas.onmouseup = e => { down = false; cursor(e, false); };
-canvas.onmousemove = e => { if (down) cursor(e, true); };
-canvas.onmouseleave = e => { if (down) { down = false; cursor(e, false); } };
-const img = new Image();
-let ghost = null;
+document.querySelectorAll('#toolbar .tool').forEach(b =>
+  b.onclick = () => setTool(b.dataset.tool));
+function toolOptions() {
+  return {
+    width_cells: parseFloat(document.getElementById('tw').value),
+    height_cells: parseFloat(document.getElementById('th').value),
+    lattice: document.getElementById('tlattice').value,
+    velocity: parseFloat(document.getElementById('tvel').value),
+    angle: document.getElementById('trandom').checked ? null :
+           parseFloat(document.getElementById('tangle').value) * Math.PI / 180,
+    ty: parseInt(document.getElementById('tty').value),
+  };
+}
+
+// ---- mouse: cursor force OR tool strokes ----
+let down = false, lastPt = null, mousePt = null;
+function norm(e) {
+  const r = viewbox.getBoundingClientRect();
+  return {x: (e.clientX - r.left) / r.width, y: 1 - (e.clientY - r.top) / r.height};
+}
+function cursor(p, isDown) { post('/cursor', {x: p.x, y: p.y, down: isDown}); }
+function strokeSeg(pts) { post('/tool', Object.assign({tool: activeTool, points: pts}, toolOptions())); }
+viewbox.onmousedown = e => {
+  down = true;
+  const p = norm(e);
+  if (activeTool === 'cursor') cursor(p, true);
+  else { strokeSeg([[p.x, p.y]]); lastPt = p; }
+};
+viewbox.onmouseup = e => {
+  down = false;
+  if (activeTool === 'cursor') cursor(norm(e), false);
+  lastPt = null;
+};
+viewbox.onmousemove = e => {
+  mousePt = norm(e);
+  if (!down) return;
+  const p = mousePt;
+  if (activeTool === 'cursor') cursor(p, true);
+  else if (lastPt) { strokeSeg([[lastPt.x, lastPt.y], [p.x, p.y]]); lastPt = p; }
+};
+viewbox.onmouseleave = e => {
+  if (down) { down = false; if (activeTool === 'cursor') cursor(norm(e), false); }
+  mousePt = null; lastPt = null;
+};
+
+// ---- keyboard shortcuts (editor.rs:740-790) ----
+document.onkeydown = e => {
+  if (e.target.tagName === 'INPUT' || e.target.tagName === 'SELECT') return;
+  const k = e.key.toLowerCase();
+  if (k === ' ') { ctl('toggle_play'); e.preventDefault(); }
+  else if (k === 'arrowleft') ctl('seek_frames', {delta: e.shiftKey ? -10 : -1});
+  else if (k === 'arrowright') ctl('seek_frames', {delta: e.shiftKey ? 10 : 1});
+  else if (k === 'l') ctl('lattice');
+  else if (k === 'c') ctl('clear');
+  else if (k === 'd') ctl('disconnect');
+  else if (k === 'b') setTool('brush');
+  else if (k === 'e') setTool('eraser');
+  else if (k === 's') setTool('speed');
+  else if (k === 'v') setTool('cursor');
+  else if (k === 'enter') { ctl('edit_resend'); setTool('cursor'); }
+  else if (k === 'escape') { ctl('edit_cancel'); setTool('cursor'); }
+};
+
+// ---- presets ----
+async function presetRefresh() {
+  const list = await (await fetch('/presets')).json();
+  document.getElementById('presets').innerHTML = list.map((p, i) =>
+    `<div class="preset">${p.name} (${p.count})
+     <button onclick="ctl('preset_send',{index:${i}})">send</button>
+     <button onclick="ctl('preset_delete',{index:${i}}).then(presetRefresh)">x</button></div>`
+  ).join('');
+}
+async function presetSave() {
+  await ctl('preset_save', {name: document.getElementById('pname').value || 'preset'});
+  presetRefresh();
+}
+presetRefresh();
+
+// ---- WebGL point renderer (one draw call; graphics.rs:311 analog) ----
+const VS = `
+attribute vec2 a_pos;  // u16 normalized -> [0,1) box fraction
+attribute vec2 a_vel;  // i16 normalized -> [-1,1] * u_vscale m/s
+uniform float u_dt;    // sim seconds to extrapolate (shader.wgsl:96)
+uniform float u_vscale;
+uniform vec2 u_box;    // box size, meters
+uniform float u_psize;
+uniform float u_maxspeed;
+varying vec3 v_color;
+void main() {
+  vec2 vel = a_vel * u_vscale;
+  vec2 p = a_pos + vel * u_dt / u_box;
+  gl_Position = vec4(p * 2.0 - 1.0, 0.0, 1.0);
+  gl_PointSize = u_psize;
+  float rel = log2(1.0 + length(vel)) / log2(1.0 + u_maxspeed);
+  v_color = mix(vec3(0.0, 0.2, 1.0), vec3(1.0, 0.2, 0.0), clamp(rel, 0.0, 1.0));
+}`;
+const FS = `
+precision mediump float;
+varying vec3 v_color;
+void main() {
+  vec2 d = gl_PointCoord - 0.5;
+  if (dot(d, d) > 0.25) discard;
+  gl_FragColor = vec4(v_color, 1.0);
+}`;
+function shader(type, src) {
+  const s = gl.createShader(type);
+  gl.shaderSource(s, src); gl.compileShader(s);
+  if (!gl.getShaderParameter(s, gl.COMPILE_STATUS)) throw gl.getShaderInfoLog(s);
+  return s;
+}
+const prog = gl.createProgram();
+gl.attachShader(prog, shader(gl.VERTEX_SHADER, VS));
+gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, FS));
+gl.linkProgram(prog);
+gl.useProgram(prog);
+const buf = gl.createBuffer();
+gl.bindBuffer(gl.ARRAY_BUFFER, buf);
+const aPos = gl.getAttribLocation(prog, 'a_pos');
+const aVel = gl.getAttribLocation(prog, 'a_vel');
+gl.enableVertexAttribArray(aPos);
+gl.enableVertexAttribArray(aVel);
+gl.vertexAttribPointer(aPos, 2, gl.UNSIGNED_SHORT, true, 8, 0);
+gl.vertexAttribPointer(aVel, 2, gl.SHORT, true, 8, 4);
+const U = n => gl.getUniformLocation(prog, n);
+gl.clearColor(0.05, 0.05, 0.08, 1.0);
+
+// ---- frame fetch loop (engine-rate) + rAF render (display-rate) ----
+let cur = null;  // {count, frameTime, playTime, playSpeed, boxW, boxH, vscale, sigma, flags, fetchedAt}
+let fetching = false;
+async function fetchFrame() {
+  if (fetching) return;
+  fetching = true;
+  try {
+    const r = await fetch('/frame.bin');
+    const ab = await r.arrayBuffer();
+    const dv = new DataView(ab);
+    if (ab.byteLength < 40 || dv.getUint32(0, true) !== 0x4e494250) return;
+    const f = {
+      count: dv.getUint32(4, true),
+      frameTime: dv.getFloat32(8, true),
+      playTime: dv.getFloat32(12, true),
+      playSpeed: dv.getFloat32(16, true),
+      boxW: dv.getFloat32(20, true),
+      boxH: dv.getFloat32(24, true),
+      vscale: dv.getFloat32(28, true),
+      sigma: dv.getFloat32(32, true),
+      flags: dv.getUint32(36, true),
+      fetchedAt: performance.now(),
+    };
+    gl.bindBuffer(gl.ARRAY_BUFFER, buf);
+    gl.bufferData(gl.ARRAY_BUFFER, new Uint8Array(ab, 40), gl.DYNAMIC_DRAW);
+    cur = f;
+  } catch (e) { /* server paused/restarting */ }
+  finally { fetching = false; }
+}
+setInterval(fetchFrame, 50);
+fetchFrame();
+
+let frames = 0, fpsT = performance.now();
+window.__fps = 0;
 function draw() {
-  ctx.drawImage(img, 0, 0, canvas.width, canvas.height);
-  if (ghost && ghost.x >= 0) {  // (-1,-1) = no cursor
-    ctx.strokeStyle = 'rgba(255,255,255,0.5)';
-    ctx.beginPath();
-    ctx.arc(ghost.x * canvas.width, (1 - ghost.y) * canvas.height,
-            ghost.size / 2 * canvas.width, 0, 2 * Math.PI);
-    ctx.stroke();
+  requestAnimationFrame(draw);
+  gl.viewport(0, 0, W, H);
+  gl.clear(gl.COLOR_BUFFER_BIT);
+  if (cur && cur.count > 0) {
+    const playing = (cur.flags & 2) !== 0 && (cur.flags & 1) === 0;
+    const wallDt = playing ? (performance.now() - cur.fetchedAt) / 1000 * cur.playSpeed : 0;
+    const dt = (cur.playTime - cur.frameTime) + wallDt;
+    gl.uniform1f(U('u_dt'), dt);
+    gl.uniform1f(U('u_vscale'), cur.vscale);
+    gl.uniform2f(U('u_box'), cur.boxW, cur.boxH);
+    gl.uniform1f(U('u_psize'), Math.max(1.5, cur.sigma / cur.boxW * W));
+    gl.uniform1f(U('u_maxspeed'), 1000.0);
+    gl.drawArrays(gl.POINTS, 0, cur.count);
+  }
+  drawOverlay();
+  frames++;
+  const now = performance.now();
+  if (now - fpsT > 1000) {
+    window.__fps = frames * 1000 / (now - fpsT);
+    document.getElementById('fps').textContent =
+      window.__fps.toFixed(0) + ' fps / ' + (cur ? cur.count : 0) + ' particles';
+    frames = 0; fpsT = now;
   }
 }
-img.onload = draw;
-function refresh() { img.src = '/frame.png?' + Date.now(); }
-setInterval(refresh, 66);
+requestAnimationFrame(draw);
+
+// ---- overlay: engine cursor ghost + brush footprint ----
+let ghost = null, cellPx = {x: 8, y: 8};
+function drawOverlay() {
+  octx.clearRect(0, 0, W, H);
+  if (ghost && ghost.x >= 0) {
+    octx.strokeStyle = 'rgba(255,255,255,0.5)';
+    octx.beginPath();
+    octx.arc(ghost.x * W, (1 - ghost.y) * H, ghost.size / 2 * W, 0, 2 * Math.PI);
+    octx.stroke();
+  }
+  if (mousePt && activeTool !== 'cursor') {
+    const w = parseFloat(document.getElementById('tw').value) * cellPx.x;
+    const h = parseFloat(document.getElementById('th').value) * cellPx.y;
+    octx.strokeStyle = activeTool === 'eraser' ? 'rgba(255,80,80,0.7)' : 'rgba(120,255,120,0.7)';
+    octx.strokeRect(mousePt.x * W - w / 2, (1 - mousePt.y) * H - h / 2, w, h);
+  }
+}
+
 setInterval(async () => {
-  const s = await (await fetch('/stats')).json();
-  ghost = s.engine_cursor || null;
-  document.getElementById('stats').textContent = JSON.stringify(s, null, 1);
+  try {
+    const s = await (await fetch('/stats')).json();
+    ghost = s.engine_cursor || null;
+    if (s.cell_px) cellPx = s.cell_px;
+    document.getElementById('b_play').classList.toggle('on', !!s.interactive);
+    document.getElementById('stats').textContent = JSON.stringify(s, null, 1);
+  } catch (e) {}
 }, 500);
-refresh();
 </script></body></html>"""
 
 
@@ -132,6 +402,7 @@ class WebEditor:
         self.size = size
         self.lock = threading.Lock()
         self._stop = False
+        self._rng = np.random.default_rng()
         self.thread = threading.Thread(target=self._run, daemon=True)
         self.thread.start()
 
@@ -151,19 +422,68 @@ class WebEditor:
             last = now
             time.sleep(0.01)
 
+    # -- rendering --------------------------------------------------------------
     def frame_png(self) -> bytes:
         with self.lock:
-            got = self.editor.timeline.frame(self.editor.play_time)
+            frame, exact = self.editor.display_frame()
             play_time = self.editor.play_time
-        if got is None:
+        if frame is None:
             img = np.full((self.size, self.size, 3), 16, np.uint8)
         else:
-            frame, exact = got
             img = render_frame(
                 frame, self.size, self.size, sim_time=play_time, frame_time=exact
             )
         return _png_bytes(img)
 
+    def frame_bin(self) -> bytes:
+        """Compact binary particle payload for the browser's WebGL renderer.
+
+        Layout (little-endian):
+          header (40 B): u32 magic "PBIN" | u32 count | f32 frame_time
+                         | f32 play_time | f32 play_speed | f32 box_w
+                         | f32 box_h | f32 vscale | f32 sigma0 | u32 flags
+                         (flags bit0 = editing, bit1 = auto_play)
+          body: count * 8 B: u16 x | u16 y | i16 vx_q | i16 vy_q
+                positions are box fractions (x/65535); velocities are
+                vq/32767 * vscale m/s.
+        """
+        with self.lock:
+            frame, exact = self.editor.display_frame()
+            play_time = self.editor.play_time
+            play_speed = self.editor.play_speed
+            flags = (1 if self.editor.editing else 0) | (
+                2 if self.editor.auto_play else 0
+            )
+        if frame is None:
+            return _BIN_HEADER.pack(_BIN_MAGIC, 0, 0.0, 0.0, play_speed, 1.0, 1.0,
+                                    1.0, 0.0, flags)
+        meta = frame.metadata
+        parts = frame.particles
+        live = parts["ty"] >= 0
+        if not live.all():
+            parts = parts[live]
+        n = len(parts)
+        vmax = 1.0
+        if n:
+            vmax = max(
+                1.0,
+                float(np.abs(parts["vx"]).max(initial=0.0)),
+                float(np.abs(parts["vy"]).max(initial=0.0)),
+            )
+        body = np.empty(n, dtype=[("x", "<u2"), ("y", "<u2"), ("vx", "<i2"), ("vy", "<i2")])
+        body["x"] = (parts["x"] >> np.uint32(16)).astype(np.uint16)
+        body["y"] = (parts["y"] >> np.uint32(16)).astype(np.uint16)
+        scale = np.float32(32767.0 / vmax)
+        body["vx"] = np.clip(parts["vx"] * scale, -32767, 32767).astype(np.int16)
+        body["vy"] = np.clip(parts["vy"] * scale, -32767, 32767).astype(np.int16)
+        header = _BIN_HEADER.pack(
+            _BIN_MAGIC, n, float(exact), float(play_time), float(play_speed),
+            float(meta.box_width), float(meta.box_height), float(vmax),
+            float(meta.species(0).sigma), flags,
+        )
+        return header + body.tobytes()
+
+    # -- controls -----------------------------------------------------------------
     def control(self, req: dict) -> None:
         e = self.editor
         action = req.get("action")
@@ -173,7 +493,11 @@ class WebEditor:
             elif action == "seek_live":
                 e.seek_live()
             elif action == "lattice":
-                e.send_lattice(50, 50, distance_factor=1.1)
+                e.send_lattice(
+                    int(req.get("nx", 50)), int(req.get("ny", 50)),
+                    distance_factor=float(req.get("distance_factor", 1.1)),
+                    hex_grid=bool(req.get("hex", True)),
+                )
             elif action == "clear":
                 e.clear_scene()
             elif action == "disconnect":
@@ -182,6 +506,60 @@ class WebEditor:
                 e.play_speed = float(req.get("value", e.play_speed))
             elif action == "seek_frac":
                 e.seek(float(req.get("value", 1.0)) * e.timeline.sim_len())
+            elif action == "seek_frames":
+                e.seek_frames(int(req.get("delta", 1)))
+            elif action == "edit_begin":
+                e.begin_editing()
+            elif action == "edit_resend":
+                e.resend_current()
+            elif action == "edit_cancel":
+                e.cancel_editing()
+            elif action == "preset_save":
+                e.save_preset(str(req.get("name", "preset")))
+            elif action == "preset_send":
+                i = int(req.get("index", -1))
+                if 0 <= i < len(e.presets):
+                    e.send_preset(i)
+            elif action == "preset_delete":
+                i = int(req.get("index", -1))
+                if 0 <= i < len(e.presets):
+                    e.presets.delete(i)
+
+    def tool(self, req: dict) -> dict:
+        """Apply a drawing-tool stroke (editor.rs:1443-1607 toolbar semantics).
+
+        Request: tool (brush/eraser/speed/clear), points (normalized [0,1]
+        canvas coords), width_cells/height_cells (stroke footprint in lattice
+        cells), lattice (hex/square), velocity (m/s), angle (radians or null
+        = random), ty (species), distance_factor."""
+        tool = Tool(str(req.get("tool", "brush")))
+        with self.lock:
+            e = self.editor
+            if not e.editing:
+                e.begin_editing()
+            frame = e._edit_frame
+            meta = frame.metadata
+            angle = req.get("angle")
+            options = ToolOptions(
+                tool=tool,
+                distance_factor=float(req.get("distance_factor", 1.0)),
+                lattice=LatticeKind(str(req.get("lattice", "hex"))),
+                velocity=float(req.get("velocity", 0.0)),
+                angle=None if angle is None else float(angle),
+                ty=int(req.get("ty", 0)),
+            )
+            rx, ry = lattice_resolution(frame, options)
+            points = [
+                (float(p[0]) * meta.box_width, float(p[1]) * meta.box_height)
+                for p in req.get("points", [])
+            ]
+            stroke = Stroke(
+                points=points,
+                width=float(req.get("width_cells", 6.0)) * rx,
+                height=float(req.get("height_cells", 6.0)) * ry,
+            )
+            affected = e.apply_tool(stroke, options, rng=self._rng)
+            return {"affected": affected, "count": frame.particle_count}
 
     def params(self, req: dict) -> None:
         """Full parameters-panel surface (editor.rs:828-1411): scalars, the
@@ -204,15 +582,31 @@ class WebEditor:
                 float(req.get("x", -1)), float(req.get("y", -1)), bool(req.get("down"))
             )
 
+    def presets_list(self) -> list:
+        with self.lock:
+            return [
+                {"name": p.name, "count": int(len(p.particles))}
+                for p in self.editor.presets
+            ]
+
     def stats(self) -> dict:
         with self.lock:
             st = self.editor.stats()
+            st["editing"] = self.editor.editing
+            st["presets"] = len(self.editor.presets)
             # ghost of the engine's active cursor (editor.rs:423-431): the
             # engine echoes cursor_pos in every outbound frame's metadata
-            frame = self.editor.current_frame()
+            frame, _ = self.editor.display_frame()
             if frame is not None:
                 cx, cy = (float(v) for v in frame.metadata.cursor_pos)
                 st["engine_cursor"] = {"x": cx, "y": cy, "size": float(frame.metadata.cursor_size)}
+                # lattice cell size in canvas px for the brush footprint overlay
+                rx, ry = lattice_resolution(frame, ToolOptions())
+                meta = frame.metadata
+                st["cell_px"] = {
+                    "x": rx / meta.box_width * self.size,
+                    "y": ry / meta.box_height * self.size,
+                }
             return st
 
     def close(self):
@@ -255,6 +649,10 @@ def make_server(http_addr, web: WebEditor) -> ThreadingHTTPServer:
                 self._send(200, _PAGE.encode(), "text/html")
             elif path == "/frame.png":
                 self._send(200, web.frame_png(), "image/png")
+            elif path == "/frame.bin":
+                self._send(200, web.frame_bin(), "application/octet-stream")
+            elif path == "/presets":
+                self._send(200, json.dumps(web.presets_list()).encode(), "application/json")
             elif path == "/stats":
                 self._send(200, json.dumps(web.stats()).encode(), "application/json")
             else:
@@ -267,13 +665,16 @@ def make_server(http_addr, web: WebEditor) -> ThreadingHTTPServer:
             except json.JSONDecodeError:
                 req = {}
             path = urlparse(self.path).path
+            out = {}
             if path == "/control":
                 web.control(req)
             elif path == "/params":
                 web.params(req)
             elif path == "/cursor":
                 web.cursor(req)
-            self._send(200, b"{}", "application/json")
+            elif path == "/tool":
+                out = web.tool(req)
+            self._send(200, json.dumps(out).encode(), "application/json")
 
     return ThreadingHTTPServer(http_addr, Handler)
 

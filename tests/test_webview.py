@@ -94,3 +94,147 @@ def test_cursor_endpoint(ui):
     )
     post(base, "/cursor", {"x": 0.25, "y": 0.75, "down": False})
     assert not web.editor.cursor_down
+
+
+def test_frame_bin_payload(ui):
+    """/frame.bin: 40-byte header + 8 bytes/particle, decodable positions."""
+    import struct
+    import time
+
+    web, base = ui
+    post(base, "/control", {"action": "lattice"})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        raw = get(base, "/frame.bin")
+        magic, count = struct.unpack_from("<II", raw, 0)
+        assert magic == 0x4E494250
+        if count == 2500:
+            break
+        time.sleep(0.05)
+    assert count == 2500
+    (frame_time, play_time, play_speed, box_w, box_h,
+     vscale, sigma) = struct.unpack_from("<7f", raw, 8)
+    (flags,) = struct.unpack_from("<I", raw, 36)
+    assert len(raw) == 40 + 8 * count
+    assert box_w > 0 and box_h > 0 and vscale >= 1.0 and sigma > 0
+    body = np.frombuffer(raw, offset=40,
+                         dtype=[("x", "<u2"), ("y", "<u2"), ("vx", "<i2"), ("vy", "<i2")])
+    # quantized positions must match the frame's particles to 16-bit precision
+    frame, _ = web.editor.display_frame()
+    live = frame.particles[frame.particles["ty"] >= 0]
+    np.testing.assert_array_equal(np.sort(body["x"]), np.sort(live["x"] >> 16))
+    assert not flags & 1  # not editing
+
+
+def test_brush_stroke_through_http_reaches_live_engine(ui):
+    """VERDICT item 4's bar: a brush stroke drawn through the HTTP surface
+    spawns particles that arrive at a live engine as a scene reset."""
+    import threading as _threading
+    import time
+
+    from particle_simulator_tpu.engine.daemon import Frontend, main_loop
+    from particle_simulator_tpu.engine.simulator import Simulator
+    from particle_simulator_tpu.io.transport import new_tcp_client
+    from particle_simulator_tpu.physics.bucket import GridConfig
+
+    web, base = ui
+    port = web.editor.backend._server.addr[1]
+
+    def run_engine():
+        reader, writer = new_tcp_client(("127.0.0.1", port))
+        frontend = Frontend(reader, writer, verbose=False)
+        sim = Simulator(GridConfig(4, 4, 8))
+        deadline = time.monotonic() + 20
+        while frontend.is_connected and time.monotonic() < deadline:
+            f = frontend.read()
+            if f is not None and f.particle_count > 0:
+                sim.load_frame(f)
+                break
+            time.sleep(0.001)
+        else:
+            return
+        main_loop(frontend, sim, max_frames=30)
+
+    t = _threading.Thread(target=run_engine, daemon=True)
+    t.start()
+
+    # draw a horizontal brush stroke across the middle of the canvas
+    out = json.loads(post(base, "/tool", {
+        "tool": "brush",
+        "points": [[0.3, 0.5], [0.7, 0.5]],
+        "width_cells": 4,
+        "height_cells": 4,
+        "lattice": "hex",
+        "velocity": 100.0,
+        "angle": None,
+        "ty": 0,
+        "distance_factor": 4.0,  # sparse: nothing drops in a 16x16-cap-8 grid
+    }))
+    assert out["affected"] > 0
+    assert web.editor.editing
+    spawned = out["count"]
+
+    post(base, "/control", {"action": "edit_resend"})
+    assert not web.editor.editing
+
+    # the engine loads the drawn scene and streams frames with those particles
+    deadline = time.monotonic() + 30
+    seen = 0
+    while time.monotonic() < deadline:
+        stats = json.loads(get(base, "/stats"))
+        if stats["particle_count"] == spawned and stats["frame_count"] > 2:
+            seen = stats["particle_count"]
+            break
+        time.sleep(0.05)
+    assert seen == spawned, "brush-drawn particles never came back from the engine"
+
+
+def test_eraser_and_speed_tools_through_http(ui):
+    web, base = ui
+    post(base, "/control", {"action": "lattice", "nx": 10, "ny": 10})
+    import time
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        if json.loads(get(base, "/stats"))["frame_count"] >= 1:
+            break
+        time.sleep(0.05)
+
+    # speed tool: set velocities in the center
+    out = json.loads(post(base, "/tool", {
+        "tool": "speed", "points": [[0.5, 0.5]],
+        "width_cells": 30, "height_cells": 30,
+        "velocity": 321.0, "angle": 0.0, "lattice": "hex",
+    }))
+    assert out["affected"] > 0
+    frame, _ = web.editor.display_frame()
+    live = frame.particles[frame.particles["ty"] >= 0]
+    assert (np.hypot(live["vx"], live["vy"]) > 300).any()
+
+    # eraser: remove them
+    before = out["count"]
+    out = json.loads(post(base, "/tool", {
+        "tool": "eraser", "points": [[0.5, 0.5]],
+        "width_cells": 200, "height_cells": 200, "lattice": "hex",
+    }))
+    assert out["count"] < before
+    post(base, "/control", {"action": "edit_cancel"})
+    assert not web.editor.editing
+
+
+def test_presets_crud_through_http(ui):
+    web, base = ui
+    import time
+    post(base, "/control", {"action": "lattice", "nx": 8, "ny": 8})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        if json.loads(get(base, "/stats"))["frame_count"] >= 1:
+            break
+        time.sleep(0.05)
+
+    post(base, "/control", {"action": "preset_save", "name": "my scene"})
+    lst = json.loads(get(base, "/presets"))
+    assert lst == [{"name": "my scene", "count": 64}]
+
+    post(base, "/control", {"action": "preset_send", "index": 0})  # no crash
+    post(base, "/control", {"action": "preset_delete", "index": 0})
+    assert json.loads(get(base, "/presets")) == []
