@@ -103,7 +103,7 @@ def _step_kernel(
     x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
-    *, ty_rows: int, by: int, cap: int,
+    *, ty_rows: int, by: int, cap: int, open_edges: bool = False,
 ):
     p_id = pl.program_id(0)
     x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
@@ -183,8 +183,14 @@ def _step_kernel(
 
     for dy in (-1, 0, 1):
         cx_row, cy_row, cty_row = rows[dy]
-        row_ok = jnp.logical_and(g_row + dy >= 0, g_row + dy < by)
-        ok_i = jnp.logical_and(row_ok, live_i)  # hoisted out of the t loop
+        if open_edges:
+            # sharded mode: rows beyond the local grid are REAL neighbor rows
+            # delivered by the halo exchange (tombstone-filled at the global
+            # boundary), so the edge mask is the candidate's own ty >= 0
+            ok_i = live_i
+        else:
+            row_ok = jnp.logical_and(g_row + dy >= 0, g_row + dy < by)
+            ok_i = jnp.logical_and(row_ok, live_i)  # hoisted out of the t loop
         # stack the three candidate fields along sublanes so each pass needs
         # ONE lane roll instead of three (lanes are untouched by the stack)
         stacked = jnp.concatenate(
@@ -259,12 +265,23 @@ def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
 
 @functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
 def bucket_step_pallas(
-    state: ParticleState, p: SimParams, interpret: bool = False, block_rows: int | None = None
+    state: ParticleState,
+    p: SimParams,
+    interpret: bool = False,
+    block_rows: int | None = None,
+    edge_rows: tuple[ParticleState, ParticleState] | None = None,
 ) -> ParticleState:
     """One bucket-path physics step, Pallas TPU kernel. Drop-in replacement for
     physics.bucket.bucket_step (same candidate set; f32 rounding may differ by
     summation order). ``block_rows`` tunes the launch width (the
-    gpu_threads_per_block_log2 analog); changing it recompiles."""
+    gpu_threads_per_block_log2 analog); changing it recompiles.
+
+    ``edge_rows`` = ((1, BX, CAP) top, (1, BX, CAP) bottom) external neighbor
+    rows for the sharded path (parallel/domain.py): the shard's y-halo rides
+    the existing packed-halo input instead of growing the grid to (ly+2) rows
+    — which would defeat the 8/16-row blocking and force a whole-array VMEM
+    block at production shard sizes. With edge rows, the kernel treats rows
+    beyond the local grid as real (tombstones mark the global boundary)."""
     by, bx, cap = state.x.shape
     L = bx * cap
     ty_rows = _pick_ty_rows(by, L, block_rows)
@@ -277,15 +294,38 @@ def bucket_step_pallas(
 
     spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    def neighbor_rows(a):
-        # rows[p] above/below block p: global rows p*ty-1 and (p+1)*ty
-        # (wrapped rows at the grid edges are masked in-kernel via row_ok)
-        a2 = a.reshape(by, L)
-        return jnp.roll(a2, 1, axis=0)[::ty_rows], jnp.roll(a2, -1, axis=0)[ty_rows - 1 :: ty_rows]
+    if edge_rows is None:
 
-    xa, xb = neighbor_rows(state.x)
-    ya, yb = neighbor_rows(state.y)
-    tya, tyb = neighbor_rows(jax.lax.bitcast_convert_type(state.ty, jnp.uint32))
+        def neighbor_rows(a, _lo=None, _hi=None):
+            # rows[p] above/below block p: global rows p*ty-1 and (p+1)*ty
+            # (wrapped rows at the grid edges are masked in-kernel via row_ok)
+            a2 = a.reshape(by, L)
+            return (
+                jnp.roll(a2, 1, axis=0)[::ty_rows],
+                jnp.roll(a2, -1, axis=0)[ty_rows - 1 :: ty_rows],
+            )
+
+        xa, xb = neighbor_rows(state.x)
+        ya, yb = neighbor_rows(state.y)
+        tya, tyb = neighbor_rows(jax.lax.bitcast_convert_type(state.ty, jnp.uint32))
+    else:
+        top, bottom = edge_rows
+
+        def neighbor_rows(a, lo, hi):
+            # full[r] = local row r-1, with external rows at both ends:
+            # above-row of block i = full[i*ty], below-row = full[(i+1)*ty+1]
+            full = jnp.concatenate(
+                [lo.reshape(1, L), a.reshape(by, L), hi.reshape(1, L)], axis=0
+            )
+            return full[0:by:ty_rows], full[ty_rows + 1 :: ty_rows]
+
+        xa, xb = neighbor_rows(state.x, top.x, bottom.x)
+        ya, yb = neighbor_rows(state.y, top.y, bottom.y)
+        tya, tyb = neighbor_rows(
+            jax.lax.bitcast_convert_type(state.ty, jnp.uint32),
+            jax.lax.bitcast_convert_type(top.ty, jnp.uint32),
+            jax.lax.bitcast_convert_type(bottom.ty, jnp.uint32),
+        )
     zero = jnp.zeros_like(xa)
     # (n_blocks, 8, L): [xa, xb, ya, yb, tya, tyb, 0, 0] per block
     halo = jnp.stack([xa, xb, ya, yb, tya, tyb, zero, zero], axis=1).reshape(n_blocks * 8, L)
@@ -299,7 +339,9 @@ def bucket_step_pallas(
     ]
     out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_step_kernel, ty_rows=ty_rows, by=by, cap=cap)
+    kernel = functools.partial(
+        _step_kernel, ty_rows=ty_rows, by=by, cap=cap, open_edges=edge_rows is not None
+    )
     nx, ny, nvx, nvy = pl.pallas_call(
         kernel,
         grid=(n_blocks,),

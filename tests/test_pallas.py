@@ -246,3 +246,52 @@ def test_pallas_move_random_scenes_property():
         b = jax.tree.map(np.asarray, bucket_move_pallas(state, interpret=True))
         for name, u, v in zip(a._fields, a, b):
             np.testing.assert_array_equal(u, v, err_msg=f"trial {trial} field {name}")
+
+
+def test_step_kernel_edge_rows_production_shard_shape():
+    """VERDICT r1 item 7: at a realistic shard size (64 rows x 4096 lanes) the
+    kernel must pick a real block (8 rows), not fall back to the whole array —
+    and the external-edge-row mode (the sharded path's y-halo) must be
+    bit-identical to the same rows computed inside a larger single-chip grid."""
+    from particle_simulator_tpu.ops.bucket_pallas import (
+        _pick_ty_rows,
+        bucket_step_pallas,
+    )
+
+    # block sizing: the halo-padded (ly+2) shape was the round-1 VMEM trap
+    assert _pick_ty_rows(64, 4096) == 8
+    assert _pick_ty_rows(66, 4096) == 66  # the old whole-array fallback
+    assert _pick_ty_rows(128, 2048) == 16
+
+    # equality check at a multi-block slab (64 rows, 16-row blocks); the
+    # 4096-lane block sizing itself is asserted above without paying the
+    # interpret-mode cost of a 4096-lane kernel run
+    cfg = GridConfig(6, 6, 8)  # 64 rows x 64 buckets, cap 8 -> 512 lanes
+    from particle_simulator_tpu.engine.state import ParticleState
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE
+
+    rng = np.random.default_rng(3)
+    n = 2000
+    parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+    parts["x"] = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    parts["y"] = rng.integers(0, 2**32, n, dtype=np.uint64).astype(np.uint32)
+    parts["vx"] = rng.normal(0, 50, n).astype(np.float32)
+    parts["vy"] = rng.normal(0, 50, n).astype(np.float32)
+    parts["ty"] = 0
+    layout = bucketize_numpy(parts, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    params = SimParams.from_record(Frame.new().metadata.copy())
+
+    full = jax.tree.map(np.asarray, bucket_step_pallas(state, params, interpret=True))
+
+    # a 32-row slab (16-row blocks x2) of the same grid, real edge rows
+    lo, hi = 8, 40
+    slab = ParticleState(*(a[lo:hi] for a in state))
+    top = ParticleState(*(a[lo - 1 : lo] for a in state))
+    bottom = ParticleState(*(a[hi : hi + 1] for a in state))
+    got = jax.tree.map(
+        np.asarray,
+        bucket_step_pallas(slab, params, interpret=True, edge_rows=(top, bottom)),
+    )
+    for name, a, b in zip(full._fields, full, got):
+        np.testing.assert_array_equal(a[lo:hi], b, err_msg=f"field {name}")
