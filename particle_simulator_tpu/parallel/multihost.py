@@ -10,9 +10,11 @@ ride DCN. Host 0 owns the editor TCP connection and the frame
 gather/readback.
 
 Single-host runs need none of this; ``init_distributed`` is a no-op when the
-coordinator env vars are absent. This module is exercised in CI only at the
-API level (single process) — multi-host hardware is not available in this
-environment.
+coordinator env vars are absent. Multi-host hardware is not available in this
+environment, so CI exercises the REAL multi-process path on CPU:
+tests/test_parallel.py spawns two OS processes (2 virtual devices each, gloo
+collectives over a DCN-style coordinator) and runs one sharded frame over the
+4-device global mesh, bit-identical to the single-process result.
 """
 
 from __future__ import annotations
@@ -20,8 +22,10 @@ from __future__ import annotations
 import os
 
 import jax
+import numpy as np
 
-from particle_simulator_tpu.parallel.domain import make_mesh
+from particle_simulator_tpu.engine.state import ParticleState
+from particle_simulator_tpu.parallel.domain import grid_sharding, make_mesh
 
 
 def init_distributed() -> bool:
@@ -34,6 +38,11 @@ def init_distributed() -> bool:
     """
     coord = os.environ.get("PS_TPU_COORDINATOR")
     if coord:
+        # jax.default_backend() must NOT be consulted here — it would
+        # initialize the XLA backend before jax.distributed.initialize()
+        if (os.environ.get("JAX_PLATFORMS") or "").startswith("cpu"):
+            # multi-process CPU needs an inter-process collectives backend
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["PS_TPU_NUM_PROCESSES"]),
@@ -55,3 +64,32 @@ def global_mesh():
 def is_frame_owner() -> bool:
     """Host 0 talks to the editor; other hosts only compute."""
     return jax.process_index() == 0
+
+
+def shard_state_global(state: ParticleState, mesh) -> ParticleState:
+    """Place a host-replicated numpy ParticleState onto a GLOBAL mesh.
+
+    Unlike ``domain.shard_state`` (single-process ``device_put``), this works
+    when the mesh spans devices of other processes: every process contributes
+    only its addressable shards via ``jax.make_array_from_callback``. All
+    processes must hold the same full ``state`` (true for scene loads: the
+    frame-owner broadcasts the scene bytes; in tests every process builds the
+    scene deterministically)."""
+    sharding = grid_sharding(mesh)
+
+    def put(a):
+        a = np.asarray(a)
+        return jax.make_array_from_callback(a.shape, sharding, lambda idx: a[idx])
+
+    return ParticleState(*(put(a) for a in state))
+
+
+def gather_global(state: ParticleState) -> ParticleState:
+    """Fetch a globally-sharded ParticleState to host numpy on EVERY process
+    (host 0 uses it for the editor readback; a cross-host allgather rides
+    DCN)."""
+    from jax.experimental import multihost_utils
+
+    return ParticleState(
+        *(np.asarray(multihost_utils.process_allgather(a, tiled=True)) for a in state)
+    )

@@ -6,6 +6,8 @@ ring), so no tolerance is needed (SURVEY.md section 4's multi-chip equivalence
 test, the analog of the reference's same-kernel-on-all-devices oracle).
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -186,3 +188,46 @@ def test_multihost_helpers_single_process():
     mesh = multihost.global_mesh()
     assert mesh.devices.size == len(jax.devices())
     assert multihost.is_frame_owner()
+
+
+def test_multihost_two_process_sharded_frame():
+    """REAL multi-process check (VERDICT r1 item 8): two OS processes, 2
+    virtual CPU devices each, jax.distributed over a local coordinator with
+    gloo collectives; one sharded frame over the 4-device GLOBAL mesh must be
+    bit-identical to the single-device bucket path (each child verifies)."""
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    child = Path(__file__).parent / "multihost_child.py"
+    env = dict(os.environ)
+    env["PS_TPU_COORDINATOR"] = f"127.0.0.1:{port}"
+    env["PS_TPU_NUM_PROCESSES"] = "2"
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(child), str(i)],
+            env=env,
+            cwd=str(Path(__file__).parent.parent),
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost child timed out")
+        outs.append((p.returncode, out, err))
+    for i, (rc, out, err) in enumerate(outs):
+        assert rc == 0, f"child {i} rc={rc}\n{out[-1500:]}\n{err[-3000:]}"
+        assert f"MULTIHOST_OK process={i}" in out
