@@ -98,14 +98,29 @@ def _roll_lanes(a: jnp.ndarray, t: int) -> jnp.ndarray:
     return jnp.concatenate([a[:, k:], a[:, :k]], axis=1)
 
 
+@functools.lru_cache(maxsize=16)
+def _lane_bad_table(cap: int, L: int) -> np.ndarray:
+    """(4*cap, L) i32: row t+2*cap-1 is 0 where a lane-shift-t candidate is
+    valid (in-row, neighboring bucket), else INT32_MIN — OR-ing it onto the
+    candidate species turns invalid lanes into tombstones in one op. Row
+    count 4*cap keeps the sublane dim a multiple of 8 (one spare row)."""
+    lane = np.arange(L, dtype=np.int64)
+    slot = lane % cap
+    table = np.full((4 * cap, L), np.int32(-(2**31)), dtype=np.int32)
+    for t in range(-(2 * cap - 1), 2 * cap):
+        delta = (slot + (t + 2 * cap)) // cap - 2
+        ok = (lane + t >= 0) & (lane + t < L) & (delta >= -1) & (delta <= 1)
+        table[t + 2 * cap - 1] = np.where(ok, 0, np.int32(-(2**31)))
+    return table
+
+
 def _step_kernel(
     params_ref,
-    x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
+    x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref, badmask_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
-    *, ty_rows: int, by: int, cap: int, open_edges: bool = False,
+    *, ty_rows: int, by: int, cap: int,
 ):
-    p_id = pl.program_id(0)
     x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
     L = x0.shape[1]
 
@@ -119,11 +134,6 @@ def _step_kernel(
     # C = (n/(n-m)) * (n/m)^(m/(n-m))  (particle.cuh:54)
     C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
     Ce = C * eps
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
-    slot = lane % cap
-    g_row = p_id.astype(jnp.int32) * ty_rows + row_iota
 
     live_i = ty0 >= 0
     xf = _u32_to_f32(x0)
@@ -181,16 +191,22 @@ def _step_kernel(
     inv_u32_bw = bw / U32_MAX_F
     inv_u32_bh = bh / U32_MAX_F
 
+    # Static-shift lane validity (in-row + neighboring-bucket) arrives as a
+    # precomputed (4*cap, L) i32 table (_lane_bad_table): row for shift t
+    # forces invalid lanes' candidate species negative (sign bit OR), so
+    # `(jty | bad_t) >= 0` replaces the ~10 integer vector ops the mask
+    # arithmetic cost per pass.
+    def lane_bad_const(t: int) -> jnp.ndarray:
+        i = t + 2 * cap - 1
+        return badmask_ref[i : i + 1]
+
+    # No receiver-side mask: a dead receiver lane may compute garbage force,
+    # but the final outputs select on live_i, and garbage is elementwise (no
+    # cross-lane propagation). Rows beyond the grid edge arrive TOMBSTONED
+    # (the caller replaces the roll-wrapped edge halo rows' ty with -1), so
+    # candidate validity is entirely `(jty | bad_t) >= 0` — one OR + compare.
     for dy in (-1, 0, 1):
         cx_row, cy_row, cty_row = rows[dy]
-        if open_edges:
-            # sharded mode: rows beyond the local grid are REAL neighbor rows
-            # delivered by the halo exchange (tombstone-filled at the global
-            # boundary), so the edge mask is the candidate's own ty >= 0
-            ok_i = live_i
-        else:
-            row_ok = jnp.logical_and(g_row + dy >= 0, g_row + dy < by)
-            ok_i = jnp.logical_and(row_ok, live_i)  # hoisted out of the t loop
         # stack the three candidate fields along sublanes so each pass needs
         # ONE lane roll instead of three (lanes are untouched by the stack)
         stacked = jnp.concatenate(
@@ -204,17 +220,7 @@ def _step_kernel(
             jy = rolled[ty_rows : 2 * ty_rows]
             jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows :], jnp.int32)
 
-            # static-shift lane validity: candidate must be in-row and in a
-            # neighboring bucket (numerator offset keeps the floordiv on
-            # non-negative values — integer div semantics differ on negatives)
-            bucket_delta = (slot + (t + 2 * cap)) // cap - 2
-            lane_ok = (
-                (lane + t >= 0)
-                & (lane + t < L)
-                & (bucket_delta >= -1)
-                & (bucket_delta <= 1)
-            )
-            valid = ok_i & lane_ok & (jty >= 0)
+            valid = (jty | lane_bad_const(t)) >= 0
 
             dx = _wrap_dist(x0, jx, inv_u32_bw)
             dyy = _wrap_dist(y0, jy, inv_u32_bh)
@@ -308,6 +314,11 @@ def bucket_step_pallas(
         xa, xb = neighbor_rows(state.x)
         ya, yb = neighbor_rows(state.y)
         tya, tyb = neighbor_rows(jax.lax.bitcast_convert_type(state.ty, jnp.uint32))
+        # the roll wraps at the grid edges: tombstone those halo rows so the
+        # kernel's candidate-ty check rejects them (no in-kernel row masking)
+        dead = jnp.full((1, L), 0xFFFFFFFF, jnp.uint32)  # bitcast(-1)
+        tya = jnp.concatenate([dead, tya[1:]], axis=0)
+        tyb = jnp.concatenate([tyb[:-1], dead], axis=0)
     else:
         top, bottom = edge_rows
 
@@ -330,6 +341,8 @@ def bucket_step_pallas(
     # (n_blocks, 8, L): [xa, xb, ya, yb, tya, tyb, 0, 0] per block
     halo = jnp.stack([xa, xb, ya, yb, tya, tyb, zero, zero], axis=1).reshape(n_blocks * 8, L)
     halo_spec = pl.BlockSpec((8, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    badmask = jnp.asarray(_lane_bad_table(cap, L))
+    badmask_spec = pl.BlockSpec((4 * cap, L), lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     out_shape = [
         jax.ShapeDtypeStruct((by, L), jnp.uint32),
@@ -339,9 +352,7 @@ def bucket_step_pallas(
     ]
     out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(
-        _step_kernel, ty_rows=ty_rows, by=by, cap=cap, open_edges=edge_rows is not None
-    )
+    kernel = functools.partial(_step_kernel, ty_rows=ty_rows, by=by, cap=cap)
     nx, ny, nvx, nvy = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
@@ -349,6 +360,7 @@ def bucket_step_pallas(
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params
             spec(), spec(), spec(), spec(), spec(),  # x, y, ty, vx, vy
             halo_spec,  # packed neighbor rows
+            badmask_spec,  # static lane-validity table
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
@@ -366,6 +378,7 @@ def bucket_step_pallas(
         flat(state.x), flat(state.y), flat(state.ty),
         flat(state.vx), flat(state.vy),
         halo,
+        badmask,
     )
 
     shape = state.x.shape

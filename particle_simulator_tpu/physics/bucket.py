@@ -292,20 +292,42 @@ def move_dest_direct(state: ParticleState):
         p = jnp.pad(a, (pad_y, pad_x))
         return p[pad_y[1] : pad_y[1] + by, pad_x[1] : pad_x[1] + bx]
 
+    # The 9 per-block slot cumsums ride 2 bit-packed words instead of 9
+    # separate 1M-element scans: each slot belongs to exactly ONE block k, so
+    # packing the one-hot masks as `1 << (bits*k)` makes a single cumsum
+    # produce all per-k prefix sums at once in disjoint bit fields (each
+    # field's sum <= cap, which fits in `bits`). Integer-exact, so the ranks —
+    # and hence the layout — stay bit-identical to the unpacked form.
+    bits = int(cap).bit_length()  # holds values up to cap
+    per_word = max(1, 31 // bits)  # keep the top field clear of the sign bit
+    masks = []
+    for k in range(9):
+        dyk, dxk = k // 3 - 1, k % 3 - 1
+        masks.append((pullable & (dy == dyk) & (dx == dxk)).astype(jnp.int32))
+    cums = []
+    for w in range(0, 9, per_word):
+        packed = masks[w]
+        shift = bits
+        for k in range(w + 1, min(w + per_word, 9)):
+            packed = packed + (masks[k] << shift)
+            shift += bits
+        cums.append(jnp.cumsum(packed, axis=-1))
+    field_max = (1 << bits) - 1
+
     rank = jnp.zeros((by, bx, cap), jnp.int32)
     block_prefix = jnp.zeros((by, bx), jnp.int32)  # indexed by target bucket
     for k in range(9):
         dyk, dxk = k // 3 - 1, k % 3 - 1
-        mask_k = pullable & (dy == dyk) & (dx == dxk)
-        mk_i = mask_k.astype(jnp.int32)
+        mk_i = masks[k]
+        inc = (cums[k // per_word] >> (bits * (k % per_word))) & field_max
         # within-source-bucket exclusive cumsum along slots
-        r_k = jnp.cumsum(mk_i, axis=-1) - mk_i
+        r_k = inc - mk_i
         # block_prefix is per-target; align to p's cell (C = T + (dyk, dxk))
         bs_at_c = shift_pad(block_prefix, dyk, dxk)
         rank = rank + mk_i * (bs_at_c[..., None] + r_k)
         # add this block's counts into the per-target prefix:
-        # cnt_k[T] = sum_slots mask_k at bucket T + (dyk, dxk)
-        cnt_k = shift_pad(jnp.sum(mk_i, axis=-1), -dyk, -dxk)
+        # cnt_k[T] = the block's total = the cumsum's last slot
+        cnt_k = shift_pad(inc[..., -1], -dyk, -dxk)
         block_prefix = block_prefix + cnt_k
 
     keep = pullable & (rank < cap)
