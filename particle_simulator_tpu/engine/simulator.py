@@ -78,24 +78,43 @@ def _grid_for(live: np.ndarray, base: GridConfig, box_width: float, r0: float) -
     instead. Pathologically overlapping scenes stop at cap 256 and drop, like
     the reference.
     """
+    def max_occupancy(c: GridConfig) -> int:
+        bx = (live["x"] >> np.uint32(32 - c.bx_log2)).astype(np.int64)
+        by = (live["y"] >> np.uint32(32 - c.by_log2)).astype(np.int64)
+        return int(np.bincount(by * c.bx + bx, minlength=c.buckets).max())
+
     cfg = base
     while cfg.capacity < len(live):
         cfg = GridConfig(cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap, cfg.move_every)
     if len(live) == 0:
         return cfg
-    while True:
-        bx = (live["x"] >> np.uint32(32 - cfg.bx_log2)).astype(np.int64)
-        by = (live["y"] >> np.uint32(32 - cfg.by_log2)).astype(np.int64)
-        occupancy = np.bincount(by * cfg.bx + bx, minlength=cfg.buckets)
-        if occupancy.max() <= cfg.cap:
-            return cfg
+    while max_occupancy(cfg) > cfg.cap:
         bucket_width = box_width / cfg.bx
         if bucket_width / 2.0 >= 2.0 * r0:
             cfg = GridConfig(cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap, cfg.move_every)
         elif cfg.cap < 256:
             cfg = GridConfig(cfg.bx_log2, cfg.by_log2, cfg.cap * 2, cfg.move_every)
         else:
-            return cfg  # accept drops (reference semantics)
+            break  # accept drops (reference semantics)
+
+    # Capacity refinement: the step kernel's roll-pass count scales with the
+    # bucket capacity (3*(4*cap-1) passes), so at equal slot count a finer
+    # grid with half the cap does HALF the pair-enumeration work. Halve cap
+    # while splitting the coarser axis, as long as the scene still fits (the
+    # same occupancy <= cap criterion the coarse search uses) and the 3x3
+    # window keeps covering the force range (bucket side >= 2 r0, like the
+    # reference's own ~2-sigma buckets).
+    while cfg.cap > 8:
+        if box_width / cfg.bx >= box_width / cfg.by:  # split the wider side
+            finer = GridConfig(cfg.bx_log2 + 1, cfg.by_log2, cfg.cap // 2, cfg.move_every)
+            side = box_width / finer.bx
+        else:
+            finer = GridConfig(cfg.bx_log2, cfg.by_log2 + 1, cfg.cap // 2, cfg.move_every)
+            side = box_width / finer.by
+        if side < 2.0 * r0 or max_occupancy(finer) > finer.cap:
+            break
+        cfg = finer
+    return cfg
 
 
 # NOT donated: the engine loop reads back frame k's state while frame k+1

@@ -406,3 +406,38 @@ def test_metadata_only_frame_switches_device_live():
     g.metadata.gpu_threads_per_block_log2 = 9
     sim.update_metadata(g)
     assert int(sim.meta_record["gpu_threads_per_block_log2"]) != 9
+
+
+def test_grid_for_prefers_small_caps():
+    """The density-aware grid picks the smallest capacity (>=8) that fits with
+    drift headroom: the step kernel's pass count scales with cap, so cap-8
+    grids run ~2x faster than cap-16 at equal slot count."""
+    from particle_simulator_tpu.engine.simulator import _grid_for
+    from particle_simulator_tpu.io.frame import MieParams, PARTICLE_DTYPE
+    from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
+
+    r0 = MieParams.nitrogen().force0_r()
+    rng = np.random.default_rng(5)
+    # a dense uniform lattice (4.4 r0 buckets hold 4x4 particles at 1.1 r0):
+    # exactly the regime where cap-8 over a finer grid halves the kernel work
+    side = 256
+    n = side * side
+    parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+    box = side * 1.1 * r0
+    ix, iy = np.meshgrid(np.arange(side), np.arange(side), indexing="xy")
+    parts["x"] = ((ix.ravel() + 0.5) / side * 2**32).astype(np.uint64).astype(np.uint32)
+    parts["y"] = ((iy.ravel() + 0.5) / side * 2**32).astype(np.uint64).astype(np.uint32)
+    cfg = _grid_for(parts, REFERENCE_GRID, box, r0)
+    assert cfg.cap <= 8
+    assert cfg.capacity >= n
+    # the 3x3 window still covers the force range: bucket side >= 2 r0
+    assert box / cfg.bx >= 2.0 * r0
+    # a pathologically clumped scene still escalates capacity instead
+    clump = parts.copy()
+    clump["x"] >>= np.uint32(8)  # squeeze everything into 1/256 of the box
+    clump["y"] >>= np.uint32(8)
+    cfg2 = _grid_for(clump, REFERENCE_GRID, box, r0)
+    bx = (clump["x"] >> np.uint32(32 - cfg2.bx_log2)).astype(np.int64)
+    by = (clump["y"] >> np.uint32(32 - cfg2.by_log2)).astype(np.int64)
+    occ = np.bincount(by * cfg2.bx + bx, minlength=cfg2.buckets).max()
+    assert occ <= cfg2.cap or cfg2.cap == 256
