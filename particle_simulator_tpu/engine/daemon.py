@@ -44,11 +44,18 @@ class Frontend:
         self.record = record
 
     @staticmethod
-    def connect_tcp(addr, retry_s: float = 0.0) -> "Frontend":
+    def connect_tcp(addr, retry_s: float = 0.0, native: bool = False) -> "Frontend":
+        """``native=True`` routes the transport through the C++ particle_io
+        library (io/native.py) — the same native frontend role the reference's
+        simulator binary plays (frontend.hpp) — instead of the Python codec."""
+        if native:
+            from particle_simulator_tpu.io.native import new_tcp_client_native as connect
+        else:
+            connect = new_tcp_client
         deadline = time.monotonic() + retry_s
         while True:
             try:
-                reader, writer = new_tcp_client(addr)
+                reader, writer = connect(addr)
                 return Frontend(reader, writer)
             except OSError:
                 if time.monotonic() >= deadline:
@@ -123,7 +130,8 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None)
 
 
 def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0,
-          n_devices: int | None = None, record: str | None = None) -> int:
+          n_devices: int | None = None, record: str | None = None,
+          native_io: bool = False) -> int:
     from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
 
     mesh = None
@@ -133,7 +141,7 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
         mesh = make_mesh(n_devices=n_devices)
         print(f"engine: sharding over a {mesh.devices.shape} device mesh", file=sys.stderr)
     sim = Simulator(grid or REFERENCE_GRID, mesh=mesh)
-    frontend = Frontend.connect_tcp(addr, retry_s=retry_s)
+    frontend = Frontend.connect_tcp(addr, retry_s=retry_s, native=native_io)
     if record:
         frontend.record = Writer.open_file(record)
         print(f"engine: recording outbound frames to {record}", file=sys.stderr)
@@ -182,6 +190,9 @@ def main(argv=None) -> int:
     ap.add_argument("--devices", type=int, default=None,
                     help="shard the bucket grid over this many chips (spatial "
                          "domain decomposition; default: single device)")
+    ap.add_argument("--native-io", action="store_true",
+                    help="use the C++ particle_io transport (native/) instead "
+                         "of the Python codec for the editor connection")
     args = ap.parse_args(argv)
 
     if args.files:
@@ -197,7 +208,7 @@ def main(argv=None) -> int:
 
     host, port = args.addr.rsplit(":", 1)
     serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s,
-          n_devices=args.devices, record=args.record)
+          n_devices=args.devices, record=args.record, native_io=args.native_io)
     return 0
 
 

@@ -162,3 +162,95 @@ def cframe_from_pyframe(pyframe: PyFrame) -> CFrame:
 
 def pyframe_from_cframe(frame: CFrame) -> PyFrame:
     return PyFrame.from_bytes(frame_bytes(frame))
+
+
+# -- native transport (engine-side) -------------------------------------------
+#
+# Drop-in replacements for the Python ``transport.Reader``/``Writer`` pair on
+# the ENGINE side of the protocol, backed by the C++ library — the same role
+# the reference's native frontend plays around its CUDA kernel
+# (cuda_simulator/src/lib/frontend.hpp). The editor side stays Python (the
+# reference's C ABI has no TCP server either; serving is the editor's job).
+
+# the SAME exception class the Python transport raises, so Frontend's
+# except-clauses catch both transports uniformly
+from particle_simulator_tpu.io.transport import Disconnected  # noqa: E402
+
+
+class NativeReader:
+    """Newest-wins frame reader over the native background-thread Reader."""
+
+    def __init__(self, creader: "CReader"):
+        self._reader = creader
+        self._lib = load()
+        self._dead = False
+
+    def read_last(self) -> Optional[PyFrame]:
+        """Drain pending frames, return the newest (None if nothing pending).
+        Raises Disconnected once the stream has ended and drained."""
+        if self._dead:
+            raise Disconnected()
+        out = CFrame(None, 0, 0)
+        connected = self._lib.reader_read_last(
+            ctypes.byref(self._reader), ctypes.byref(out)
+        )
+        frame = None
+        if out.ptr:
+            frame = pyframe_from_cframe(out)
+            self._lib.frame_destroy(ctypes.byref(out))
+        if not connected:
+            # deliver the final frame (if any); report Disconnected next call
+            self._dead = True
+            if frame is None:
+                raise Disconnected()
+        return frame
+
+    def read(self) -> Optional[PyFrame]:
+        """Non-blocking read of the next frame in stream order."""
+        if self._dead:
+            raise Disconnected()
+        out = self._lib.reader_read(ctypes.byref(self._reader))
+        if not out.ptr:
+            return None
+        frame = pyframe_from_cframe(out)
+        self._lib.frame_destroy(ctypes.byref(out))
+        return frame
+
+    def close(self) -> None:
+        if self._reader is not None:
+            self._lib.reader_destroy(ctypes.byref(self._reader))
+            self._reader = None
+
+
+class NativeWriter:
+    """Blocking frame writer over the native Writer."""
+
+    def __init__(self, cwriter: "CWriter"):
+        self._writer = cwriter
+        self._lib = load()
+
+    def write(self, frame: PyFrame) -> bool:
+        data = frame.bytes
+        buf = ctypes.create_string_buffer(data, len(data))
+        return bool(self._lib.writer_write(ctypes.byref(self._writer), buf))
+
+    def close(self) -> None:
+        if self._writer is not None:
+            self._lib.writer_destroy(ctypes.byref(self._writer))
+            self._writer = None
+
+
+def new_tcp_client_native(addr) -> tuple[NativeReader, NativeWriter]:
+    """Connect to the editor's TCP server through the C++ library
+    (new_tcp_client, the reference frontend's own entry point). ``addr`` is a
+    (host, port) pair. Raises OSError on connection failure (matching
+    transport.new_tcp_client so Frontend.connect_tcp's retry loop works)."""
+    lib = load()
+    reader = CReader()
+    writer = CWriter()
+    host, port = addr
+    if not lib.new_tcp_client(
+        ctypes.byref(reader), ctypes.byref(writer), f"{host}:{port}".encode()
+    ):
+        raise OSError(f"native tcp connect to {host}:{port} failed")
+    return NativeReader(reader), NativeWriter(writer)

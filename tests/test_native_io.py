@@ -316,3 +316,67 @@ def test_reference_frontend_call_sequence_end_to_end():
         assert proc.wait(timeout=10) == 0
     finally:
         server.close()
+
+
+def test_daemon_main_loop_over_native_transport():
+    """The engine daemon runs its full protocol loop through the C++ transport
+    (--native-io): scene in, live frames out, byte-compatible with the Python
+    editor side."""
+    import threading
+
+    from particle_simulator_tpu.engine.daemon import Frontend, main_loop
+    from particle_simulator_tpu.engine.simulator import Simulator
+    from particle_simulator_tpu.io.presets import ParticleLattice
+    from particle_simulator_tpu.physics.bucket import GridConfig
+
+    server = new_tcp_server(("127.0.0.1", 0))
+
+    def run_daemon():
+        frontend = Frontend.connect_tcp(
+            ("127.0.0.1", server.addr[1]), retry_s=10.0, native=True
+        )
+        frontend.verbose = False
+        sim = Simulator(GridConfig(4, 4, 8))
+        deadline = time.monotonic() + 20
+        while frontend.is_connected and time.monotonic() < deadline:
+            f = frontend.read()
+            if f is not None and f.particle_count > 0:
+                sim.load_frame(f)
+                break
+            time.sleep(0.001)
+        else:
+            return
+        main_loop(frontend, sim, max_frames=5)
+
+    t = threading.Thread(target=run_daemon, daemon=True)
+    t.start()
+
+    conn = None
+    deadline = time.monotonic() + 10
+    while conn is None and time.monotonic() < deadline:
+        conn = server.try_accept()
+        time.sleep(0.005)
+    assert conn, "native daemon never connected"
+    reader, writer = conn
+
+    scene = Frame.new()
+    meta = scene.metadata
+    lat = ParticleLattice((8, 8), distance_factor=4.0, velocity=(0.0, 10.0))
+    lat.hex_square(scene, (meta.box_width / 2, meta.box_height / 2),
+                   rng=np.random.default_rng(0))
+    scene.metadata.steps_per_frame = 5
+    assert writer.write(scene)
+
+    got = []
+    deadline = time.monotonic() + 60
+    while len(got) < 4 and time.monotonic() < deadline:
+        f = reader.read()
+        if f is None:
+            time.sleep(0.002)
+            continue
+        got.append(f)
+    assert len(got) >= 4
+    assert all(f.particle_count == scene.particle_count for f in got)
+    assert all(np.isfinite(f.particles["vx"]).all() for f in got)
+    t.join(timeout=30)
+    server.close()
