@@ -37,6 +37,11 @@ static bool frontend_read(FrameHeader *frame) {
   is_connected = reader_read_last(&reader, &received_frame);
   if (!received_frame.ptr) return false;
 
+  if (received_frame.ptr->particle_count > kMaxParticles) {
+    std::fprintf(stderr, "frontend_host: frame exceeds host buffer\n");
+    frame_destroy(&received_frame);
+    return false;
+  }
   std::memcpy(frame, received_frame.ptr, packet_size(received_frame.ptr->particle_count));
   frame_print(frame);
   frame_destroy(&received_frame);

@@ -363,7 +363,7 @@ function draw() {
 requestAnimationFrame(draw);
 
 // ---- overlay: engine cursor ghost + brush footprint ----
-let ghost = null, cellPx = {x: 8, y: 8};
+let ghost = null, cellFrac = {x: 0.01, y: 0.01};
 function drawOverlay() {
   octx.clearRect(0, 0, W, H);
   if (ghost && ghost.x >= 0) {
@@ -373,8 +373,8 @@ function drawOverlay() {
     octx.stroke();
   }
   if (mousePt && activeTool !== 'cursor') {
-    const w = parseFloat(document.getElementById('tw').value) * cellPx.x;
-    const h = parseFloat(document.getElementById('th').value) * cellPx.y;
+    const w = parseFloat(document.getElementById('tw').value) * cellFrac.x * W;
+    const h = parseFloat(document.getElementById('th').value) * cellFrac.y * H;
     octx.strokeStyle = activeTool === 'eraser' ? 'rgba(255,80,80,0.7)' : 'rgba(120,255,120,0.7)';
     octx.strokeRect(mousePt.x * W - w / 2, (1 - mousePt.y) * H - h / 2, w, h);
   }
@@ -384,7 +384,7 @@ setInterval(async () => {
   try {
     const s = await (await fetch('/stats')).json();
     ghost = s.engine_cursor || null;
-    if (s.cell_px) cellPx = s.cell_px;
+    if (s.cell_frac) cellFrac = s.cell_frac;
     document.getElementById('b_play').classList.toggle('on', !!s.interactive);
     document.getElementById('stats').textContent = JSON.stringify(s, null, 1);
   } catch (e) {}
@@ -423,10 +423,19 @@ class WebEditor:
             time.sleep(0.01)
 
     # -- rendering --------------------------------------------------------------
-    def frame_png(self) -> bytes:
+    def _display_snapshot(self):
+        """(frame, exact, play_time) safe to read outside the lock: timeline
+        frames are immutable once pushed, but the in-progress EDIT frame is
+        mutated by /tool under the lock — copy it so the encoders never see a
+        torn extend()/in-place write."""
         with self.lock:
             frame, exact = self.editor.display_frame()
-            play_time = self.editor.play_time
+            if self.editor.editing and frame is not None:
+                frame = frame.copy()
+            return frame, exact, self.editor.play_time
+
+    def frame_png(self) -> bytes:
+        frame, exact, play_time = self._display_snapshot()
         if frame is None:
             img = np.full((self.size, self.size, 3), 16, np.uint8)
         else:
@@ -449,6 +458,8 @@ class WebEditor:
         """
         with self.lock:
             frame, exact = self.editor.display_frame()
+            if self.editor.editing and frame is not None:
+                frame = frame.copy()
             play_time = self.editor.play_time
             play_speed = self.editor.play_speed
             flags = (1 if self.editor.editing else 0) | (
@@ -600,12 +611,13 @@ class WebEditor:
             if frame is not None:
                 cx, cy = (float(v) for v in frame.metadata.cursor_pos)
                 st["engine_cursor"] = {"x": cx, "y": cy, "size": float(frame.metadata.cursor_size)}
-                # lattice cell size in canvas px for the brush footprint overlay
+                # lattice cell size as a BOX FRACTION for the brush footprint
+                # overlay (the client scales by its own canvas size)
                 rx, ry = lattice_resolution(frame, ToolOptions())
                 meta = frame.metadata
-                st["cell_px"] = {
-                    "x": rx / meta.box_width * self.size,
-                    "y": ry / meta.box_height * self.size,
+                st["cell_frac"] = {
+                    "x": rx / meta.box_width,
+                    "y": ry / meta.box_height,
                 }
             return st
 

@@ -66,7 +66,13 @@ def _cpu_device():
     return jax.devices("cpu")[0] if jax.local_devices(backend="cpu") else jax.devices()[0]
 
 
-def _grid_for(live: np.ndarray, base: GridConfig, box_width: float, r0: float) -> GridConfig:
+def _grid_for(
+    live: np.ndarray,
+    base: GridConfig,
+    box_width: float,
+    r0: float,
+    box_height: float | None = None,
+) -> GridConfig:
     """Density-aware grid selection.
 
     The reference compiles a fixed 64x64x16 grid and silently drops bucket
@@ -88,9 +94,11 @@ def _grid_for(live: np.ndarray, base: GridConfig, box_width: float, r0: float) -
         cfg = GridConfig(cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap, cfg.move_every)
     if len(live) == 0:
         return cfg
+    box_height = box_width if box_height is None else box_height
     while max_occupancy(cfg) > cfg.cap:
-        bucket_width = box_width / cfg.bx
-        if bucket_width / 2.0 >= 2.0 * r0:
+        # the smaller bucket side governs the 3x3 window's force coverage
+        bucket_side = min(box_width / cfg.bx, box_height / cfg.by)
+        if bucket_side / 2.0 >= 2.0 * r0:
             cfg = GridConfig(cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap, cfg.move_every)
         elif cfg.cap < 256:
             cfg = GridConfig(cfg.bx_log2, cfg.by_log2, cfg.cap * 2, cfg.move_every)
@@ -105,12 +113,12 @@ def _grid_for(live: np.ndarray, base: GridConfig, box_width: float, r0: float) -
     # window keeps covering the force range (bucket side >= 2 r0, like the
     # reference's own ~2-sigma buckets).
     while cfg.cap > 8:
-        if box_width / cfg.bx >= box_width / cfg.by:  # split the wider side
+        if box_width / cfg.bx >= box_height / cfg.by:  # split the wider side
             finer = GridConfig(cfg.bx_log2 + 1, cfg.by_log2, cfg.cap // 2, cfg.move_every)
             side = box_width / finer.bx
         else:
             finer = GridConfig(cfg.bx_log2, cfg.by_log2 + 1, cfg.cap // 2, cfg.move_every)
-            side = box_width / finer.by
+            side = box_height / finer.by
         if side < 2.0 * r0 or max_occupancy(finer) > finer.cap:
             break
         cfg = finer
@@ -199,7 +207,8 @@ class Simulator:
             self.state = jax.device_put(state, jdev)
         else:
             self.grid = _grid_for(
-                live, self.base_grid, meta.box_width, meta.species(0).force0_r()
+                live, self.base_grid, meta.box_width,
+                meta.species(0).force0_r(), box_height=meta.box_height,
             )
             if self.mesh is not None:
                 # grow bx until it tiles the mesh's (power-of-two) x axis;
@@ -238,12 +247,19 @@ class Simulator:
         if self.meta_record is None:
             return
         new = frame.metadata.copy()
-        requested_dev = Device(int(new["device"]))
+        # Out-of-range enum bytes (buggy client / wire corruption past the
+        # signature check) must not kill the engine loop: ignore them and
+        # keep the running values, like the pre-switch behavior.
+        try:
+            requested_dev = Device(int(new["device"]))
+            requested_ds = DataStructure(int(new["data_structure"]))
+        except ValueError:
+            requested_dev = self.active_device
+            requested_ds = self.data_structure
+            new["device"] = int(self.meta_record["device"])
+            new["data_structure"] = int(self.data_structure)
         _, effective_dev = self._target_device(requested_dev)
-        if (
-            int(new["data_structure"]) != int(self.data_structure)
-            or effective_dev != self.active_device
-        ):
+        if requested_ds != self.data_structure or effective_dev != self.active_device:
             # Live structure/device switch: re-layout the running scene.
             live = state_to_numpy(self.state)
             relayout = Frame.from_particles(new, live[live["ty"] >= 0])

@@ -54,13 +54,24 @@ class CParticle(ctypes.Structure):
 def build(force: bool = False) -> Path:
     """Build the native library if needed; returns the .so path.
 
-    Always invokes make (cheap no-op when current) so a stale .so can never
-    shadow edited sources."""
+    Invokes make when the .so is missing or older than the sources (so a
+    stale .so never shadows edited code), but tolerates a missing toolchain
+    or read-only tree when a usable prebuilt .so exists."""
     if force:
         subprocess.run(
             ["make", "-C", str(_NATIVE_DIR), "clean"], check=True, capture_output=True
         )
-    subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+    sources = [_NATIVE_DIR / "src" / "particle_io.cpp", _NATIVE_DIR / "include" / "particle_io.h"]
+    stale = not _LIB_PATH.exists() or any(
+        src.exists() and src.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        for src in sources
+    )
+    if stale:
+        try:
+            subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
+        except (OSError, subprocess.CalledProcessError):
+            if not _LIB_PATH.exists():
+                raise
     return _LIB_PATH
 
 

@@ -441,3 +441,26 @@ def test_grid_for_prefers_small_caps():
     by = (clump["y"] >> np.uint32(32 - cfg2.by_log2)).astype(np.int64)
     occ = np.bincount(by * cfg2.bx + bx, minlength=cfg2.buckets).max()
     assert occ <= cfg2.cap or cfg2.cap == 256
+
+
+def test_metadata_only_frame_with_garbage_enums_is_ignored():
+    """Out-of-range device/data_structure bytes in a metadata-only frame must
+    not kill the engine: the running values are kept (pre-switch behavior)."""
+    scene = scene_frame(n=6, steps=2)
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.load_frame(scene)
+    n = scene.particle_count
+    before_ds = sim.data_structure
+    before_dev = sim.active_device
+
+    f = Frame.new()
+    f.header["metadata"] = scene.metadata.copy()
+    f.header["metadata"]["device"] = 7  # not a Device
+    f.header["metadata"]["data_structure"] = 9  # not a DataStructure
+    f.header["metadata"]["steps_per_frame"] = 3
+    sim.update_metadata(f)  # must not raise
+    assert sim.data_structure == before_ds
+    assert sim.active_device == before_dev
+    assert int(sim.meta_record["steps_per_frame"]) == 3  # params still applied
+    sim.frame_async()
+    assert sim.live_count == n
