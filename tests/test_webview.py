@@ -238,3 +238,59 @@ def test_presets_crud_through_http(ui):
     post(base, "/control", {"action": "preset_send", "index": 0})  # no crash
     post(base, "/control", {"action": "preset_delete", "index": 0})
     assert json.loads(get(base, "/presets")) == []
+
+
+def test_page_script_is_structurally_sane():
+    """No browser exists in CI, so at minimum the page's JS must be
+    structurally sound: balanced (){}[] outside strings/comments, terminated
+    strings/template literals, and every element id referenced by
+    getElementById present in the markup."""
+    import re
+
+    from particle_simulator_tpu.editor.webview import _PAGE
+
+    m = re.search(r"<script>(.*)</script>", _PAGE, re.S)
+    assert m, "page has no script"
+    js = m.group(1)
+
+    stack = []
+    pairs = {")": "(", "]": "[", "}": "{"}
+    i, n = 0, len(js)
+    state = None  # None | "'"|'"'|'`' | "//" | "/*"
+    while i < n:
+        c = js[i]
+        nxt = js[i + 1] if i + 1 < n else ""
+        if state is None:
+            if c in "'\"`":
+                state = c
+            elif c == "/" and nxt == "/":
+                state = "//"
+                i += 1
+            elif c == "/" and nxt == "*":
+                state = "/*"
+                i += 1
+            elif c in "([{":
+                stack.append(c)
+            elif c in ")]}":
+                assert stack and stack[-1] == pairs[c], f"unbalanced {c!r} at {i}"
+                stack.pop()
+        elif state in ("'", '"', "`"):
+            if c == "\\":
+                i += 1
+            elif c == state:
+                state = None
+            elif state in ("'", '"') and c == "\n":
+                raise AssertionError(f"unterminated string at {i}")
+        elif state == "//":
+            if c == "\n":
+                state = None
+        elif state == "/*":
+            if c == "*" and nxt == "/":
+                state = None
+                i += 1
+        i += 1
+    assert state is None, f"unterminated {state!r}"
+    assert not stack, f"unclosed {stack!r}"
+
+    for el_id in set(re.findall(r"getElementById\('([^']+)'\)", js)):
+        assert f'id="{el_id}"' in _PAGE, f"script references missing element #{el_id}"
