@@ -42,37 +42,44 @@ def dense_grid_scene(cfg, fill: int):
     meta = default_metadata()
     n = cfg.buckets * fill
     r0 = MieParams.nitrogen().force0_r()
-    box = float(np.sqrt(n) * r0)
-    meta["box_width"] = box
-    meta["box_height"] = box
+
+    # Bucket-ALIGNED hexagonal lattice — the 2D ground state — so the crystal
+    # neither relaxes (a square lattice is a saddle point: it melts, clumps,
+    # and overflows buckets over thousands of steps) nor straddles bucket
+    # boundaries: each bucket holds exactly `fill` particles as `cols` hex
+    # columns x `rows` hex rows, at spacing d = r0.
+    rows = 2 if fill <= 8 else 4
+    assert fill % rows == 0, "fill must split into hex rows"
+    cols = fill // rows
+    d = r0
+    box_w = float(cfg.bx * cols * d)
+    box_h = float(cfg.by * rows * (np.sqrt(3.0) / 2.0) * d)
+    meta["box_width"] = box_w
+    meta["box_height"] = box_h
     # the reference's stability envelope: leapfrog is stable at dt = 10 fs for
     # >10 ns sim-time (doc/project.typ:209); the 50 fs metadata default blows
-    # up at liquid density
+    # up at condensed-phase density
     meta["step_dt"] = 10e-15
 
     rng = np.random.default_rng(0)
-    # per-bucket lattice-ish jitter: fill slots at distinct sub-positions
-    bxs = np.arange(cfg.bx, dtype=np.uint64)
-    bys = np.arange(cfg.by, dtype=np.uint64)
-    cell_w = np.uint64(1 << (32 - cfg.bx_log2))
-    cell_h = np.uint64(1 << (32 - cfg.by_log2))
-
+    bxs = np.arange(cfg.bx, dtype=np.int64)
+    bys = np.arange(cfg.by, dtype=np.int64)
     parts = np.zeros(n, dtype=PARTICLE_DTYPE)
-    gx, gy, gs = np.meshgrid(bxs, bys, np.arange(fill, dtype=np.uint64), indexing="xy")
+    gx, gy, gs = np.meshgrid(bxs, bys, np.arange(fill, dtype=np.int64), indexing="xy")
     gx, gy, gs = gx.ravel(), gy.ravel(), gs.ravel()
-    # sub-grid inside each bucket, shaped to the bucket's aspect ratio so the
-    # spacing is isotropic (a square side x side grid in a 2:1 bucket would
-    # halve the vertical spacing and blow up the stiff r^-13 repulsion)
-    aspect = (cfg.by / cfg.bx)  # bucket_width / bucket_height for a square box
-    side_x = max(1, int(np.ceil(np.sqrt(fill * aspect))))
-    side_y = int(np.ceil(fill / side_x))
-    sub_x = (gs % side_x).astype(np.uint64)
-    sub_y = (gs // side_x).astype(np.uint64)
-    # keep jitter ~3% of the lattice spacing: larger overlaps blow up the
-    # stiff r^-13 repulsion at dt = 50 fs
-    jitter = rng.integers(0, max(int(cell_w) // (32 * side_x), 1), size=(2, n)).astype(np.uint64)
-    parts["x"] = (gx * cell_w + (sub_x * cell_w) // side_x + cell_w // (2 * side_x) + jitter[0]).astype(np.uint32)
-    parts["y"] = (gy * cell_h + (sub_y * cell_h) // side_y + cell_h // (2 * side_y) + jitter[1]).astype(np.uint32)
+    col = gs % cols
+    row = gs // cols
+    ixg = gx * cols + col  # global hex column
+    iyg = gy * rows + row  # global hex row
+    # odd rows offset by d/2; +d/4 centering keeps every particle inside its
+    # own bucket's [4k, 4k+4) d window
+    px = (ixg + 0.5 * (iyg % 2) + 0.25) * d
+    py = (iyg + 0.5) * (np.sqrt(3.0) / 2.0) * d
+    # ~1% of the spacing of jitter to break exact symmetry
+    px = px + rng.uniform(-0.01, 0.01, n) * d
+    py = py + rng.uniform(-0.01, 0.01, n) * d
+    parts["x"] = np.clip(px / box_w * 2**32, 0, 2**32 - 1).astype(np.uint64).astype(np.uint32)
+    parts["y"] = np.clip(py / box_h * 2**32, 0, 2**32 - 1).astype(np.uint64).astype(np.uint32)
     parts["vx"] = rng.normal(0, 1.0, n).astype(np.float32)
     parts["vy"] = rng.normal(0, 1.0, n).astype(np.float32)
     parts["ty"] = 0
