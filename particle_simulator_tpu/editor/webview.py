@@ -17,6 +17,14 @@ server around the same ``Editor`` core, with the browser doing the GPU work:
   wired to ``/tool``; presets CRUD (editor.rs:961-1083) to ``/presets`` +
   control actions; "Edit & Resend current" (editor.rs:1087-1095) and the
   keyboard shortcuts (editor.rs:740-790) work from the browser.
+- **GUI section** (editor.rs:1305-1411): UI scale, number format
+  (dashed/scientific/metric, the NumFormatter analog — number_formatter.rs),
+  background/slow/fast colors, max-speed-for-color, min particle px, render
+  style (flat / shaded "RTX Ultra" sphere / animated "RTX RGB" ring —
+  shader.wgsl:131-201), Over/Add blend with background-subtract
+  (shader.wgsl:124), velocity-extrapolation toggle, fullscreen. All of these
+  are client-side render state, exactly as in the reference ("floating
+  windows" is the one intentional N/A — the browser has no egui windows).
 
 Run (engine in another terminal):
     python -m particle_simulator_tpu.editor.webview --http 127.0.0.1:8700
@@ -141,6 +149,28 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
       <option value="1">CPU Thread Pool</option>
       <option value="2">CPU Main Thread</option>
     </select></label>
+  <h4>gui</h4>
+  <label>ui scale <input type="range" id="gscale" min="0.6" max="1.8" step="0.05" value="1"
+    oninput="document.body.style.zoom = this.value"></label>
+  <label>number format
+    <select id="gnumfmt"><option value="metric" selected>metric</option>
+      <option value="scientific">scientific</option><option value="dashed">dashed</option></select>
+  </label>
+  <label>style
+    <select id="gstyle"><option value="0" selected>flat</option>
+      <option value="1">RTX ultra (shaded)</option><option value="2">RTX rgb</option></select>
+  </label>
+  <label>blend
+    <select id="gblend"><option value="over" selected>over</option><option value="add">add</option></select>
+  </label>
+  <label><input type="checkbox" id="ginterp" checked> velocity extrapolation</label>
+  <label>max speed for color (log10 m/s) <input type="range" id="gmaxspeed" min="0" max="4" step="0.05" value="3"></label>
+  <label>min particle px <input type="range" id="gminpx" min="0.5" max="8" step="0.5" value="1.5"></label>
+  <label>background <input type="color" id="gbg" value="#0d0d14">
+    slow <input type="color" id="gcslow" value="#0033ff">
+    fast <input type="color" id="gcfast" value="#ff3300"></label>
+  <button onclick="document.getElementById('viewbox').requestFullscreen()">fullscreen</button>
+
   <div id="stats"></div>
   <div style="font-size:11px;color:#666;margin-top:8px">
     <kbd>space</kbd> play <kbd>&larr;&rarr;</kbd> seek <kbd>L</kbd> lattice
@@ -262,6 +292,8 @@ uniform float u_vscale;
 uniform vec2 u_box;    // box size, meters
 uniform float u_psize;
 uniform float u_maxspeed;
+uniform vec3 u_cslow;  // color ramp endpoints (shader.wgsl:94,100)
+uniform vec3 u_cfast;
 varying vec3 v_color;
 void main() {
   vec2 vel = a_vel * u_vscale;
@@ -269,15 +301,34 @@ void main() {
   gl_Position = vec4(p * 2.0 - 1.0, 0.0, 1.0);
   gl_PointSize = u_psize;
   float rel = log2(1.0 + length(vel)) / log2(1.0 + u_maxspeed);
-  v_color = mix(vec3(0.0, 0.2, 1.0), vec3(1.0, 0.2, 0.0), clamp(rel, 0.0, 1.0));
+  v_color = mix(u_cslow, u_cfast, clamp(rel, 0.0, 1.0));
 }`;
 const FS = `
 precision mediump float;
 varying vec3 v_color;
+uniform int u_style;   // 0 flat | 1 shaded sphere (shiny_circle, shader.wgsl:179-201)
+                       // | 2 animated rainbow ring (shiny2_circle, shader.wgsl:131-177)
+uniform float u_time;
+uniform vec3 u_bg;
+uniform float u_sub;   // 1.0 under Add blend: background-subtract (shader.wgsl:124)
 void main() {
-  vec2 d = gl_PointCoord - 0.5;
-  if (dot(d, d) > 0.25) discard;
-  gl_FragColor = vec4(v_color, 1.0);
+  vec2 d = (gl_PointCoord - 0.5) * 2.0;
+  float r2 = dot(d, d);
+  if (r2 > 1.0) discard;
+  vec3 c = v_color;
+  if (u_style == 1) {
+    vec3 nrm = vec3(d.x, -d.y, sqrt(max(0.0, 1.0 - r2)));
+    vec3 l = normalize(vec3(-0.4, 0.6, 0.8));
+    float diff = max(dot(nrm, l), 0.0);
+    float spec = pow(max(dot(reflect(-l, nrm), vec3(0.0, 0.0, 1.0)), 0.0), 16.0);
+    c = c * (0.25 + 0.75 * diff) + vec3(0.6) * spec;
+  } else if (u_style == 2) {
+    float hue = fract(atan(d.y, d.x) / 6.2831853 + 0.5 + u_time * 0.25);
+    vec3 rgb = clamp(abs(mod(hue * 6.0 + vec3(0.0, 4.0, 2.0), 6.0) - 3.0) - 1.0, 0.0, 1.0);
+    float ring = smoothstep(1.0, 0.55, r2) * (0.35 + 0.65 * smoothstep(0.15, 0.75, r2));
+    c = mix(v_color, rgb, 0.85) * ring;
+  }
+  gl_FragColor = vec4(c - u_sub * u_bg, 1.0);
 }`;
 function shader(type, src) {
   const s = gl.createShader(type);
@@ -299,6 +350,59 @@ gl.enableVertexAttribArray(aVel);
 gl.vertexAttribPointer(aPos, 2, gl.UNSIGNED_SHORT, true, 8, 0);
 gl.vertexAttribPointer(aVel, 2, gl.SHORT, true, 8, 4);
 const U = n => gl.getUniformLocation(prog, n);
+
+// ---- gui render state (editor.rs:1305-1411) ----
+function hexRgb(h) {
+  return [parseInt(h.slice(1, 3), 16) / 255,
+          parseInt(h.slice(3, 5), 16) / 255,
+          parseInt(h.slice(5, 7), 16) / 255];
+}
+function guiState() {
+  return {
+    style: parseInt(document.getElementById('gstyle').value),
+    add: document.getElementById('gblend').value === 'add',
+    interp: document.getElementById('ginterp').checked,
+    maxspeed: Math.pow(10, parseFloat(document.getElementById('gmaxspeed').value)),
+    minpx: parseFloat(document.getElementById('gminpx').value),
+    bg: hexRgb(document.getElementById('gbg').value),
+    cslow: hexRgb(document.getElementById('gcslow').value),
+    cfast: hexRgb(document.getElementById('gcfast').value),
+  };
+}
+
+// ---- number formats (number_formatter.rs: Dashed / Scientific / Metric) ----
+const SUP = {'-': '\\u207b', '0': '\\u2070', '1': '\\u00b9', '2': '\\u00b2', '3': '\\u00b3',
+             '4': '\\u2074', '5': '\\u2075', '6': '\\u2076', '7': '\\u2077', '8': '\\u2078', '9': '\\u2079'};
+const SI = [[1e9, 'G'], [1e6, 'M'], [1e3, 'k'], [1, ''], [1e-3, 'm'], [1e-6, '\\u00b5'],
+            [1e-9, 'n'], [1e-12, 'p'], [1e-15, 'f']];
+function fmtNum(x, unit) {
+  if (typeof x !== 'number' || !isFinite(x)) return String(x);
+  const fmt = document.getElementById('gnumfmt').value;
+  unit = unit || '';
+  if (x === 0) return '0 ' + unit;
+  if (fmt === 'dashed') {
+    const neg = x < 0 ? '-' : '';
+    const a = Math.abs(x);
+    const fix = Number.isInteger(a) ? a.toFixed(0) : a < 1 ? a.toPrecision(3) : a.toFixed(2);
+    const dp = fix.split('.');
+    return neg + dp[0].replace(/\\B(?=(\\d{3})+(?!\\d))/g, '_') +
+           (dp[1] ? '.' + dp[1] : '') + unit;
+  }
+  if (fmt === 'scientific') {
+    if (x === 0) return '0' + unit;
+    const e = Math.floor(Math.log10(Math.abs(x)));
+    const mant = (x / Math.pow(10, e)).toPrecision(3);
+    const sup = String(e).split('').map(c => SUP[c] || c).join('');
+    return mant + '\\u00d710' + sup + unit;
+  }
+  // metric (SI prefixes G..f)
+  for (const [scale, prefix] of SI) {
+    if (Math.abs(x) >= scale || scale === 1e-15) {
+      return (x / scale).toPrecision(3) + ' ' + prefix + unit;
+    }
+  }
+  return String(x) + unit;
+}
 gl.clearColor(0.05, 0.05, 0.08, 1.0);
 
 // ---- frame fetch loop (engine-rate) + rAF render (display-rate) ----
@@ -337,17 +441,27 @@ let frames = 0, fpsT = performance.now();
 window.__fps = 0;
 function draw() {
   requestAnimationFrame(draw);
+  const g = guiState();
   gl.viewport(0, 0, W, H);
+  gl.clearColor(g.bg[0], g.bg[1], g.bg[2], 1.0);
   gl.clear(gl.COLOR_BUFFER_BIT);
   if (cur && cur.count > 0) {
+    if (g.add) { gl.enable(gl.BLEND); gl.blendFunc(gl.ONE, gl.ONE); }
+    else gl.disable(gl.BLEND);
     const playing = (cur.flags & 2) !== 0 && (cur.flags & 1) === 0;
     const wallDt = playing ? (performance.now() - cur.fetchedAt) / 1000 * cur.playSpeed : 0;
     const dt = (cur.playTime - cur.frameTime) + wallDt;
-    gl.uniform1f(U('u_dt'), dt);
+    gl.uniform1f(U('u_dt'), g.interp ? dt : 0.0);
     gl.uniform1f(U('u_vscale'), cur.vscale);
     gl.uniform2f(U('u_box'), cur.boxW, cur.boxH);
-    gl.uniform1f(U('u_psize'), Math.max(1.5, cur.sigma / cur.boxW * W));
-    gl.uniform1f(U('u_maxspeed'), 1000.0);
+    gl.uniform1f(U('u_psize'), Math.max(g.minpx, cur.sigma / cur.boxW * W));
+    gl.uniform1f(U('u_maxspeed'), g.maxspeed);
+    gl.uniform3f(U('u_cslow'), g.cslow[0], g.cslow[1], g.cslow[2]);
+    gl.uniform3f(U('u_cfast'), g.cfast[0], g.cfast[1], g.cfast[2]);
+    gl.uniform1i(U('u_style'), g.style);
+    gl.uniform1f(U('u_time'), performance.now() / 1000 % 3600);
+    gl.uniform3f(U('u_bg'), g.bg[0], g.bg[1], g.bg[2]);
+    gl.uniform1f(U('u_sub'), g.add ? 1.0 : 0.0);
     gl.drawArrays(gl.POINTS, 0, cur.count);
   }
   drawOverlay();
@@ -380,13 +494,27 @@ function drawOverlay() {
   }
 }
 
+// stats panel (editor.rs:1228-1289), numbers through the selected format
+function statsText(s) {
+  const lines = [
+    'time: ' + fmtNum(s.time, 's'),
+    'frame: ' + (s.frame_index === null ? '-' : s.frame_index) + ' / ' + s.frame_count,
+    'particles: ' + fmtNum(s.particle_count, ''),
+    'data structure: ' + s.data_structure,
+    'device: ' + s.device,
+    'timeline ram: ' + fmtNum(s.timeline_ram, 'B'),
+    'interactive: ' + s.interactive + (s.editing ? ' (editing)' : ''),
+    'connection: ' + s.connection,
+  ];
+  return lines.join('\\n');
+}
 setInterval(async () => {
   try {
     const s = await (await fetch('/stats')).json();
     ghost = s.engine_cursor || null;
     if (s.cell_frac) cellFrac = s.cell_frac;
     document.getElementById('b_play').classList.toggle('on', !!s.interactive);
-    document.getElementById('stats').textContent = JSON.stringify(s, null, 1);
+    document.getElementById('stats').textContent = statsText(s);
   } catch (e) {}
 }, 500);
 </script></body></html>"""
