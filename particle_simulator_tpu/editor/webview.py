@@ -269,10 +269,12 @@ document.onkeydown = e => {
 };
 
 // ---- presets ----
+const escHtml = s => String(s).replace(/[&<>\\u0022\\u0027]/g,
+  c => '&#' + c.charCodeAt(0) + ';');
 async function presetRefresh() {
   const list = await (await fetch('/presets')).json();
   document.getElementById('presets').innerHTML = list.map((p, i) =>
-    `<div class="preset">${p.name} (${p.count})
+    `<div class="preset">${escHtml(p.name)} (${p.count})
      <button onclick="ctl('preset_send',{index:${i}})">send</button>
      <button onclick="ctl('preset_delete',{index:${i}}).then(presetRefresh)">x</button></div>`
   ).join('');
@@ -349,7 +351,9 @@ gl.enableVertexAttribArray(aPos);
 gl.enableVertexAttribArray(aVel);
 gl.vertexAttribPointer(aPos, 2, gl.UNSIGNED_SHORT, true, 8, 0);
 gl.vertexAttribPointer(aVel, 2, gl.SHORT, true, 8, 4);
-const U = n => gl.getUniformLocation(prog, n);
+// uniform locations are immutable after linkProgram: resolve each once
+const _uloc = {};
+const U = n => n in _uloc ? _uloc[n] : (_uloc[n] = gl.getUniformLocation(prog, n));
 
 // ---- gui render state (editor.rs:1305-1411) ----
 function hexRgb(h) {
@@ -552,18 +556,21 @@ class WebEditor:
 
     # -- rendering --------------------------------------------------------------
     def _display_snapshot(self):
-        """(frame, exact, play_time) safe to read outside the lock: timeline
-        frames are immutable once pushed, but the in-progress EDIT frame is
-        mutated by /tool under the lock — copy it so the encoders never see a
-        torn extend()/in-place write."""
+        """(frame, exact, play_time, play_speed, flags) safe to read outside
+        the lock: timeline frames are immutable once pushed, but the
+        in-progress EDIT frame is mutated by /tool under the lock — copy it so
+        the encoders never see a torn extend()/in-place write."""
         with self.lock:
             frame, exact = self.editor.display_frame()
             if self.editor.editing and frame is not None:
                 frame = frame.copy()
-            return frame, exact, self.editor.play_time
+            flags = (1 if self.editor.editing else 0) | (
+                2 if self.editor.auto_play else 0
+            )
+            return frame, exact, self.editor.play_time, self.editor.play_speed, flags
 
     def frame_png(self) -> bytes:
-        frame, exact, play_time = self._display_snapshot()
+        frame, exact, play_time, _, _ = self._display_snapshot()
         if frame is None:
             img = np.full((self.size, self.size, 3), 16, np.uint8)
         else:
@@ -584,15 +591,7 @@ class WebEditor:
                 positions are box fractions (x/65535); velocities are
                 vq/32767 * vscale m/s.
         """
-        with self.lock:
-            frame, exact = self.editor.display_frame()
-            if self.editor.editing and frame is not None:
-                frame = frame.copy()
-            play_time = self.editor.play_time
-            play_speed = self.editor.play_speed
-            flags = (1 if self.editor.editing else 0) | (
-                2 if self.editor.auto_play else 0
-            )
+        frame, exact, play_time, play_speed, flags = self._display_snapshot()
         if frame is None:
             return _BIN_HEADER.pack(_BIN_MAGIC, 0, 0.0, 0.0, play_speed, 1.0, 1.0,
                                     1.0, 0.0, flags)
@@ -670,8 +669,16 @@ class WebEditor:
         Request: tool (brush/eraser/speed/clear), points (normalized [0,1]
         canvas coords), width_cells/height_cells (stroke footprint in lattice
         cells), lattice (hex/square), velocity (m/s), angle (radians or null
-        = random), ty (species), distance_factor."""
-        tool = Tool(str(req.get("tool", "brush")))
+        = random), ty (species), distance_factor.
+
+        Unknown tool/lattice names are rejected with an ``error`` payload
+        rather than a 500 (mirrors the engine's tolerance of garbage enum
+        bytes in update_metadata)."""
+        try:
+            tool = Tool(str(req.get("tool", "brush")))
+            kind = LatticeKind(str(req.get("lattice", "hex")))
+        except ValueError as e:
+            return {"error": str(e)}
         with self.lock:
             e = self.editor
             if not e.editing:
@@ -682,7 +689,7 @@ class WebEditor:
             options = ToolOptions(
                 tool=tool,
                 distance_factor=float(req.get("distance_factor", 1.0)),
-                lattice=LatticeKind(str(req.get("lattice", "hex"))),
+                lattice=kind,
                 velocity=float(req.get("velocity", 0.0)),
                 angle=None if angle is None else float(angle),
                 ty=int(req.get("ty", 0)),

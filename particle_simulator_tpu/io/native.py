@@ -69,9 +69,17 @@ def build(force: bool = False) -> Path:
     if stale:
         try:
             subprocess.run(["make", "-C", str(_NATIVE_DIR)], check=True, capture_output=True)
-        except (OSError, subprocess.CalledProcessError):
+        except OSError:
+            # no toolchain in this environment: a prebuilt .so is acceptable
             if not _LIB_PATH.exists():
                 raise
+        except subprocess.CalledProcessError as e:
+            # a FAILED build must never fall back to the stale .so — that is
+            # exactly the "stale library shadows edited code" hazard
+            raise RuntimeError(
+                f"native build failed (sources newer than {_LIB_PATH.name}):\n"
+                f"{e.stderr.decode(errors='replace') if e.stderr else e}"
+            ) from e
     return _LIB_PATH
 
 

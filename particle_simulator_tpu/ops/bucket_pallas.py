@@ -304,7 +304,8 @@ def bucket_step_pallas(
 
         def neighbor_rows(a, _lo=None, _hi=None):
             # rows[p] above/below block p: global rows p*ty-1 and (p+1)*ty
-            # (wrapped rows at the grid edges are masked in-kernel via row_ok)
+            # (wrapped rows at the grid edges are NOT masked in-kernel: the
+            # tombstoning below is the only edge protection)
             a2 = a.reshape(by, L)
             return (
                 jnp.roll(a2, 1, axis=0)[::ty_rows],

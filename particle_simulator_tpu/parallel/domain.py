@@ -226,7 +226,8 @@ def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True, kern
     # Rows may be PADDED: bucket counts must be powers of two (bucket id =
     # coordinate top bits), so a non-power-of-two mesh axis can't divide them.
     # Callers append tombstone rows to (ny * ceil(by/ny)); padded rows have
-    # global row index >= cfg.by, are never force-visible (row_ok masks) and
+    # global row index >= cfg.by, are never force-visible (they are
+    # tombstoned, and the step kernel rejects tombstoned candidates) and
     # never targeted by the move (targets come from coordinate bits < by).
     body = functools.partial(_local_frame, cfg=cfg, ny=ny, nx=nx, kernel=kernel)
     sharded = shard_map(

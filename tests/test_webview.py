@@ -240,6 +240,18 @@ def test_presets_crud_through_http(ui):
     assert json.loads(get(base, "/presets")) == []
 
 
+def test_tool_rejects_unknown_enums_cleanly(ui):
+    """Garbage tool/lattice names come back as an error payload, not a 500,
+    and don't flip the editor into editing mode."""
+    web, base = ui
+    out = json.loads(post(base, "/tool", {"tool": "nuke", "points": [[0.5, 0.5]]}))
+    assert "error" in out
+    out = json.loads(post(base, "/tool", {"tool": "brush", "lattice": "bogus",
+                                          "points": [[0.5, 0.5]]}))
+    assert "error" in out
+    assert not web.editor.editing
+
+
 def test_page_script_is_structurally_sane():
     """No browser exists in CI, so at minimum the page's JS must be
     structurally sound: balanced (){}[] outside strings/comments, terminated
