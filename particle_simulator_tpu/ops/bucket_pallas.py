@@ -545,13 +545,21 @@ def run_frame_bucket_pallas(
     """Whole-frame runner: Pallas step kernel + Pallas rebucket pass on the
     reference cadence (every 16th step). The pull-place move kernel is
     bit-identical to bucket_move and ~3x the sort-based pass at 1M (no XLA
-    scatter); multi-chip keeps the shard-local jnp pull pass."""
+    scatter); multi-chip keeps the shard-local jnp pull pass.
+
+    Chunked like run_frame_bucket (step 0 + (move, <= move_every unrolled
+    steps) per chunk): the per-step `cond(i % k == 1, move)` branch it
+    replaces measured ~15% of frame time at 1M. Interpret mode (CPU tests)
+    keeps the small dynamic-loop trace."""
 
     def move(s):
         return bucket_move_pallas(s, interpret=interpret)
 
-    def body(i, s):
-        s = jax.lax.cond(i % move_every == 1, move, lambda t: t, s)
+    def step(s):
         return bucket_step_pallas(s, p, interpret=interpret, block_rows=block_rows)
 
-    return jax.lax.fori_loop(0, p.steps_per_frame, body, state)
+    from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
+
+    return chunked_frame_schedule(
+        state, p.steps_per_frame, move_every, step, move, unroll=not interpret
+    )

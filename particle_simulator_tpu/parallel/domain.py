@@ -206,11 +206,15 @@ def _local_frame(
         def step(s):
             return bucket_step_nbr(s, nbr_of(s), p)
 
-    def body(i, s):
-        s = jax.lax.cond(i % cfg.move_every == 1, move, lambda t: t, s)
-        return step(s)
+    # chunked cadence, identical op sequence to the reference's per-step
+    # `if i % k == 1: move` schedule without a branch per step; unrolled
+    # chunks only on real TPU (virtual CPU meshes prefer the small trace)
+    from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
 
-    return jax.lax.fori_loop(0, p.steps_per_frame, body, state)
+    return chunked_frame_schedule(
+        state, p.steps_per_frame, cfg.move_every, step, move,
+        unroll=jax.default_backend() == "tpu",
+    )
 
 
 def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True, kernel: str = "jnp"):
