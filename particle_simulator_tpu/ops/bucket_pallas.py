@@ -550,7 +550,11 @@ def run_frame_bucket_pallas(
     Chunked like run_frame_bucket (step 0 + (move, <= move_every unrolled
     steps) per chunk): the per-step `cond(i % k == 1, move)` branch it
     replaces measured ~15% of frame time at 1M. Interpret mode (CPU tests)
-    keeps the small dynamic-loop trace."""
+    keeps the small dynamic-loop trace, and so do grids above ~128 MB of
+    state: the unrolled chunk body holds more live buffers and measured
+    27 -> 16 steps/s at 16M (320 MB state), while 1M (20 MB) gains ~7%."""
+    by, bx, cap = state.x.shape
+    big_state = by * bx * cap * 20 > 128 * 2**20
 
     def move(s):
         return bucket_move_pallas(s, interpret=interpret)
@@ -561,5 +565,6 @@ def run_frame_bucket_pallas(
     from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
 
     return chunked_frame_schedule(
-        state, p.steps_per_frame, move_every, step, move, unroll=not interpret
+        state, p.steps_per_frame, move_every, step, move,
+        unroll=not interpret and not big_state,
     )
