@@ -89,6 +89,62 @@ class Frontend:
             self.is_connected = False
 
 
+class DistributedFrontend:
+    """Multi-process (jax.distributed) coordination around the editor link.
+
+    SPMD rule: every process must issue the SAME sequence of global-array
+    computations, but only process 0 holds the editor TCP connection
+    (parallel/multihost.py). So process 0 reads the editor and broadcasts a
+    (code, frame-bytes) pair each poll; every process then makes identical
+    load_frame / update_metadata / frame_async decisions from identical
+    bytes. Writes are real only on process 0; a disconnect broadcasts so all
+    processes exit their loops together."""
+
+    _NONE, _FRAME, _CLOSED = 0, 1, 2
+
+    def __init__(self, inner: Frontend | None):
+        import jax
+
+        self.inner = inner  # the real Frontend on process 0, else None
+        self.is_proc0 = jax.process_index() == 0
+        assert (inner is not None) == self.is_proc0
+        self.is_connected = True
+        self.record = None
+
+    def _bcast(self, arr):
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.broadcast_one_to_all(arr)
+
+    def read(self) -> Frame | None:
+        import numpy as np
+
+        payload = np.zeros(0, np.uint8)
+        code = self._NONE
+        frame = None
+        if self.is_proc0:
+            frame = self.inner.read()
+            if not self.inner.is_connected:
+                code = self._CLOSED
+            elif frame is not None:
+                code = self._FRAME
+                payload = np.frombuffer(frame.bytes, np.uint8)
+        hdr = self._bcast(np.array([code, len(payload)], np.int64))
+        code, length = int(hdr[0]), int(hdr[1])
+        if code == self._CLOSED:
+            self.is_connected = False
+            return None
+        if code == self._NONE:
+            return None
+        buf = payload if self.is_proc0 else np.zeros(length, np.uint8)
+        buf = np.asarray(self._bcast(buf), np.uint8)
+        return frame if self.is_proc0 else Frame.from_bytes(buf.tobytes())
+
+    def write(self, frame: Frame) -> None:
+        if self.is_proc0:
+            self.inner.write(frame)  # a failure surfaces via the next read()
+
+
 def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None) -> int:
     """The compute_frame loop (cuda_simulator.cu:7-38). Returns frames shipped."""
     from particle_simulator_tpu.utils.profiling import StepMeter
@@ -130,10 +186,14 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None)
 
 
 def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0,
-          n_devices: int | None = None, record: str | None = None,
+          n_devices: int | str | None = None, record: str | None = None,
           native_io: bool = False) -> int:
     from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
 
+    import jax
+
+    if n_devices == "all":
+        n_devices = len(jax.devices())
     mesh = None
     if n_devices and n_devices > 1:
         from particle_simulator_tpu.parallel.domain import make_mesh
@@ -141,11 +201,25 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
         mesh = make_mesh(n_devices=n_devices)
         print(f"engine: sharding over a {mesh.devices.shape} device mesh", file=sys.stderr)
     sim = Simulator(grid or REFERENCE_GRID, mesh=mesh)
-    frontend = Frontend.connect_tcp(addr, retry_s=retry_s, native=native_io)
-    if record:
-        frontend.record = Writer.open_file(record)
-        print(f"engine: recording outbound frames to {record}", file=sys.stderr)
-    print(f"engine: connected to editor at {addr}", file=sys.stderr)
+
+    multiproc = jax.process_count() > 1
+    if multiproc and (not mesh or not any(
+        d.process_index != 0 for d in mesh.devices.flat
+    )):
+        raise SystemExit(
+            "engine: multi-process run needs --devices all (or a count "
+            "spanning every host's chips) so the mesh covers all processes"
+        )
+    if not multiproc or jax.process_index() == 0:
+        frontend = Frontend.connect_tcp(addr, retry_s=retry_s, native=native_io)
+        if record:
+            frontend.record = Writer.open_file(record)
+            print(f"engine: recording outbound frames to {record}", file=sys.stderr)
+        print(f"engine: connected to editor at {addr}", file=sys.stderr)
+    else:
+        frontend = None
+    if multiproc:
+        frontend = DistributedFrontend(frontend)
 
     # wait for the first non-empty frame (cuda_simulator.cu:43-49)
     while frontend.is_connected:
@@ -153,7 +227,7 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
         if frame is not None and frame.particle_count > 0:
             sim.load_frame(frame)
             break
-        time.sleep(0.001)
+        time.sleep(0.01 if multiproc else 0.001)
 
     if not frontend.is_connected:
         print("engine: editor disconnected before first scene", file=sys.stderr)
@@ -179,6 +253,17 @@ def _pin_platform() -> None:
 
 def main(argv=None) -> int:
     _pin_platform()
+    # multi-host (no-op unless the PS_TPU_* env vars are set — see
+    # scripts/launch_multihost.sh); must run before the XLA backend wakes up
+    from particle_simulator_tpu.parallel.multihost import init_distributed
+
+    if init_distributed():
+        import jax
+
+        print(
+            f"engine: distributed process {jax.process_index()}/{jax.process_count()}",
+            file=sys.stderr,
+        )
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--addr", default="127.0.0.1:53123", help="editor TCP address")
     ap.add_argument("--files", default=None, help="DIR: use DIR/backend_in.bin + DIR/backend_out.bin instead of TCP")
@@ -187,9 +272,12 @@ def main(argv=None) -> int:
     ap.add_argument("--record", default=None,
                     help="tee every outbound frame to this file (replayable "
                          "with editor.headless --replay)")
-    ap.add_argument("--devices", type=int, default=None,
+    ap.add_argument("--devices", default=None,
                     help="shard the bucket grid over this many chips (spatial "
-                         "domain decomposition; default: single device)")
+                         "domain decomposition; default: single device). "
+                         "'all' = every chip of every host — with the "
+                         "multihost env vars set (scripts/launch_multihost.sh) "
+                         "that is the GLOBAL device set")
     ap.add_argument("--native-io", action="store_true",
                     help="use the C++ particle_io transport (native/) instead "
                          "of the Python codec for the editor connection")
@@ -207,8 +295,9 @@ def main(argv=None) -> int:
         return 0 if main_loop(frontend, sim, args.max_frames) else 1
 
     host, port = args.addr.rsplit(":", 1)
+    devices = args.devices if args.devices in (None, "all") else int(args.devices)
     serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s,
-          n_devices=args.devices, record=args.record, native_io=args.native_io)
+          n_devices=devices, record=args.record, native_io=args.native_io)
     return 0
 
 

@@ -261,7 +261,7 @@ class Simulator:
         _, effective_dev = self._target_device(requested_dev)
         if requested_ds != self.data_structure or effective_dev != self.active_device:
             # Live structure/device switch: re-layout the running scene.
-            live = state_to_numpy(self.state)
+            live = self._state_numpy(self.state)
             relayout = Frame.from_particles(new, live[live["ty"] >= 0])
             self.load_frame(relayout)
             return
@@ -313,12 +313,27 @@ class Simulator:
             jax.block_until_ready(self.state)
 
     # -- readback ----------------------------------------------------------------
+    @staticmethod
+    def _state_numpy(state: ParticleState) -> np.ndarray:
+        """state_to_numpy that also handles multi-process global arrays:
+        shards owned by other hosts are gathered (DCN allgather) first —
+        every process ends up with the full global state, and process 0
+        ships it to the editor (parallel/multihost.py)."""
+        x = state.x
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            state = ParticleState(
+                *(multihost_utils.process_allgather(a, tiled=True) for a in state)
+            )
+        return state_to_numpy(state)
+
     def read_frame(self, state: Optional[ParticleState] = None) -> Frame:
         """Device -> host readback of a state (default: current), compacted and
         wrapped in a wire frame (frontend.write semantics: tombstones removed
         before shipping, frontend.hpp:50-56)."""
         state = self.state if state is None else state
-        parts = state_to_numpy(state)
+        parts = self._state_numpy(state)
         frame = Frame.from_particles(self.meta_record, parts[parts["ty"] >= 0])
         return frame
 
@@ -326,4 +341,4 @@ class Simulator:
     def live_count(self) -> int:
         if self.state is None:
             return 0
-        return int(np.count_nonzero(state_to_numpy(self.state)["ty"] >= 0))
+        return int(np.count_nonzero(self._state_numpy(self.state)["ty"] >= 0))

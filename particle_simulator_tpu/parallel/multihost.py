@@ -10,11 +10,18 @@ ride DCN. Host 0 owns the editor TCP connection and the frame
 gather/readback.
 
 Single-host runs need none of this; ``init_distributed`` is a no-op when the
-coordinator env vars are absent. Multi-host hardware is not available in this
-environment, so CI exercises the REAL multi-process path on CPU:
-tests/test_parallel.py spawns two OS processes (2 virtual devices each, gloo
-collectives over a DCN-style coordinator) and runs one sharded frame over the
-4-device global mesh, bit-identical to the single-process result.
+coordinator env vars are absent. The production entry point is
+``scripts/launch_multihost.sh`` (the reference's SLURM-script analog,
+cuda_simulator/job.sh): one invocation per host runs the engine daemon with
+``--devices all``; the daemon's ``DistributedFrontend`` (engine/daemon.py)
+broadcasts editor input from process 0 so every process issues the identical
+sharded computation sequence.
+
+Multi-host hardware is not available in this environment, so CI exercises
+the REAL multi-process path on CPU two ways (tests/test_parallel.py): a
+2-process sharded frame bit-identity check, and a full editor + 2-daemon
+end-to-end run over a 4-virtual-device global mesh (gloo collectives over a
+DCN-style coordinator).
 """
 
 from __future__ import annotations

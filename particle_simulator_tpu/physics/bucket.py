@@ -432,31 +432,45 @@ def chunked_frame_schedule(state, steps, move_every: int, step, move, unroll: bo
     the exact op sequence of the reference's per-step schedule
     (kernel_bucket.cuh:181-206, `if i % k == 1: move`) without paying a
     branch per step (the naive cond measured ~15% of frame time at 1M).
-    Full chunks unroll their ``move_every`` steps statically so loop
-    bookkeeping is per chunk; a dynamic-length trailing chunk (and the
-    leading step 0) keep ``steps`` a traced value — live steps_per_frame
-    edits never recompile. ``unroll=False`` trades the per-chunk unroll for
-    a dynamic inner loop (same sequence; cheaper traces for interpret-mode
-    tests)."""
-    n_full = jnp.maximum(0, (steps - 1) // move_every)
-    rem = jnp.maximum(0, steps - 1 - n_full * move_every)
+    With ``unroll=True`` full chunks unroll their ``move_every`` steps
+    statically so loop bookkeeping is per chunk; a dynamic-length trailing
+    chunk (and the leading step 0) keep ``steps`` a traced value — live
+    steps_per_frame edits never recompile. ``unroll=False`` instead runs one
+    unified chunk loop with a dynamic inner step loop — the same sequence
+    with exactly ONE instantiation of ``step``/``move`` in the jaxpr, which
+    matters both for interpret-mode test time (pallas interpret lowering
+    pays per call site) and for buffer liveness at huge grids."""
+    if unroll:
+        n_full = jnp.maximum(0, (steps - 1) // move_every)
+        rem = jnp.maximum(0, steps - 1 - n_full * move_every)
 
-    def full_chunk(c, s):
-        s = move(s)
-        if unroll:
+        def full_chunk(c, s):
+            s = move(s)
             for _ in range(move_every):
                 s = step(s)
-        else:
-            s = jax.lax.fori_loop(0, move_every, lambda j, t: step(t), s)
-        return s
+            return s
 
-    def partial_chunk(s):
-        s = move(s)
-        return jax.lax.fori_loop(0, rem, lambda j, t: step(t), s)
+        def partial_chunk(s):
+            s = move(s)
+            return jax.lax.fori_loop(0, rem, lambda j, t: step(t), s)
 
-    state = jax.lax.cond(steps >= 1, step, lambda s: s, state)
-    state = jax.lax.fori_loop(0, n_full, full_chunk, state)
-    return jax.lax.cond(rem > 0, partial_chunk, lambda s: s, state)
+        state = jax.lax.cond(steps >= 1, step, lambda s: s, state)
+        state = jax.lax.fori_loop(0, n_full, full_chunk, state)
+        return jax.lax.cond(rem > 0, partial_chunk, lambda s: s, state)
+
+    def chunk(c, s):
+        # chunk 0 = the lone leading step; chunks 1.. = move + <= move_every
+        # steps (moves land before steps 1, 1+k, 1+2k, ... exactly)
+        s = jax.lax.cond(c > 0, move, lambda t: t, s)
+        k = jnp.where(
+            c == 0,
+            jnp.minimum(steps, 1),
+            jnp.minimum(move_every, steps - 1 - (c - 1) * move_every),
+        )
+        return jax.lax.fori_loop(0, k, lambda j, t: step(t), s)
+
+    n_chunks = jnp.where(steps >= 1, (steps + move_every - 2) // move_every + 1, 0)
+    return jax.lax.fori_loop(0, n_chunks, chunk, state)
 
 
 def run_frame_bucket(state: ParticleState, p: SimParams, move_every: int = 16) -> ParticleState:

@@ -231,3 +231,74 @@ def test_multihost_two_process_sharded_frame():
     for i, (rc, out, err) in enumerate(outs):
         assert rc == 0, f"child {i} rc={rc}\n{out[-1500:]}\n{err[-3000:]}"
         assert f"MULTIHOST_OK process={i}" in out
+
+
+def test_multihost_daemon_editor_end_to_end():
+    """The full production multi-host path (scripts/launch_multihost.sh): a
+    headless editor + TWO engine daemon processes sharing one jax.distributed
+    runtime. Process 0 owns the editor TCP connection; DistributedFrontend
+    broadcasts editor input to process 1 so both run the identical sharded
+    frame sequence over the 4-device global mesh, and the editor receives
+    the simulated frames."""
+    import json
+    import socket
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    def free_port():
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            return s.getsockname()[1]
+
+    coord_port, editor_port = free_port(), free_port()
+    repo = Path(__file__).parent.parent
+
+    base_env = dict(os.environ)
+    base_env["JAX_PLATFORMS"] = "cpu"
+    flags = [f for f in base_env.get("XLA_FLAGS", "").split() if "device_count" not in f]
+    base_env["XLA_FLAGS"] = " ".join(flags + ["--xla_force_host_platform_device_count=2"])
+
+    editor = subprocess.Popen(
+        [sys.executable, "-m", "particle_simulator_tpu.editor.headless",
+         "--addr", f"127.0.0.1:{editor_port}", "--frames", "3",
+         "--lattice", "12x12", "--steps-per-frame", "10"],
+        env=base_env, cwd=str(repo),
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+    )
+
+    daemons = []
+    for i in range(2):
+        env = dict(base_env)
+        env["PS_TPU_COORDINATOR"] = f"127.0.0.1:{coord_port}"
+        env["PS_TPU_NUM_PROCESSES"] = "2"
+        env["PS_TPU_PROCESS_ID"] = str(i)
+        daemons.append(subprocess.Popen(
+            [sys.executable, "-m", "particle_simulator_tpu.engine.daemon",
+             "--devices", "all", "--addr", f"127.0.0.1:{editor_port}",
+             "--max-frames", "5", "--retry-s", "60"],
+            env=env, cwd=str(repo),
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+
+    procs = [editor] + daemons
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost daemon/editor process timed out")
+        outs.append((p.returncode, out, err))
+
+    e_rc, e_out, e_err = outs[0]
+    assert e_rc == 0, f"editor rc={e_rc}\n{e_out[-1500:]}\n{e_err[-3000:]}"
+    stats = json.loads(e_out.strip().splitlines()[-1])
+    assert stats["frame_count"] >= 3
+    assert stats["particle_count"] == 144
+    for i, (rc, out, err) in enumerate(outs[1:]):
+        assert rc == 0, f"daemon {i} rc={rc}\n{out[-1500:]}\n{err[-3000:]}"
+        assert "disconnected after" in err
+        if i == 0:
+            assert "sharding over a (2, 2) device mesh" in err
