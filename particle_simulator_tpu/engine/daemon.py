@@ -145,16 +145,49 @@ class DistributedFrontend:
             self.inner.write(frame)  # a failure surfaces via the next read()
 
 
-def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None) -> int:
-    """The compute_frame loop (cuda_simulator.cu:7-38). Returns frames shipped."""
+def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
+              readback_depth: int = 1) -> int:
+    """The compute_frame loop (cuda_simulator.cu:7-38). Returns frames shipped.
+
+    ``readback_depth`` pipelines the device->host readback: each iteration
+    dispatches frame k+1, starts an async host copy of frame k's state, and
+    ships the state whose copy was started ``readback_depth`` iterations ago
+    — so a high-latency link to the device (the dev tunnel: ~200 ms RTT per
+    blocking readback, measured 4.9 -> 25 fps at depth 1) is hidden behind
+    compute instead of serializing with it. Depth 0 is the reference's exact
+    cadence (ship frame k while k+1 computes, cuda_simulator.cu:7-26); depth
+    1 ships one frame later. Scene resets flush the queue first, so frame
+    order on the wire never changes."""
+    from collections import deque
+
     from particle_simulator_tpu.utils.profiling import StepMeter
 
     meter = StepMeter()
+    queue: deque = deque()  # states awaiting shipment, oldest first
+    shipped = 0
+
+    def ship(state=None) -> None:
+        nonlocal shipped
+        frame = sim.read_frame(state)
+        frontend.write(frame)
+        shipped += 1
+        meter.tick(frame.metadata.steps_per_frame, frame.particle_count)
+        if shipped % 64 == 0:
+            print(f"engine: {meter.report()}", file=sys.stderr)
+
+    def enqueue(state) -> None:
+        for a in state:
+            if hasattr(a, "copy_to_host_async") and a.is_fully_addressable:
+                a.copy_to_host_async()
+        queue.append(state)
+
+    def flush() -> None:
+        while queue:
+            ship(queue.popleft())
 
     # prime: echo the prepared first scene and dispatch its first frame
-    frontend.write(sim.read_frame())
+    ship()
     sim.frame_async()
-    shipped = 1
 
     while frontend.is_connected and (max_frames is None or shipped < max_frames):
         prev_state = sim.state  # the frame just dispatched resolves into this
@@ -165,29 +198,28 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None)
             if incoming.particle_count == 0:
                 sim.update_metadata(incoming)  # live param tweak
             else:
+                flush()  # ship pending pre-reset frames in order
                 sim.load_frame(incoming)  # full scene reset
                 # Echo the loaded scene verbatim BEFORE dispatching the next
                 # frame (mirrors the prime path above and the reference, which
                 # writes the incoming frame as-is, cuda_simulator.cu:16-20);
                 # writing after frame_async would ship the post-step state and
                 # then re-send it next iteration via prev_state.
-                frontend.write(sim.read_frame())
+                ship()
                 sim.frame_async()
-                shipped += 1
                 continue
 
-        frame = sim.read_frame(prev_state)
-        frontend.write(frame)
-        shipped += 1
-        meter.tick(frame.metadata.steps_per_frame, frame.particle_count)
-        if shipped % 64 == 0:
-            print(f"engine: {meter.report()}", file=sys.stderr)
+        enqueue(prev_state)
+        if len(queue) > readback_depth:
+            ship(queue.popleft())
+    while queue and frontend.is_connected and (max_frames is None or shipped < max_frames):
+        ship(queue.popleft())
     return shipped
 
 
 def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0,
           n_devices: int | str | None = None, record: str | None = None,
-          native_io: bool = False) -> int:
+          native_io: bool = False, readback_depth: int = 1) -> int:
     from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
 
     import jax
@@ -233,7 +265,8 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
         print("engine: editor disconnected before first scene", file=sys.stderr)
         return 0
 
-    shipped = main_loop(frontend, sim, max_frames=max_frames)
+    shipped = main_loop(frontend, sim, max_frames=max_frames,
+                        readback_depth=readback_depth)
     print(f"engine: disconnected after {shipped} frames", file=sys.stderr)
     return shipped
 
@@ -278,6 +311,10 @@ def main(argv=None) -> int:
                          "'all' = every chip of every host — with the "
                          "multihost env vars set (scripts/launch_multihost.sh) "
                          "that is the GLOBAL device set")
+    ap.add_argument("--readback-pipeline", type=int, default=1,
+                    help="frames of device->host readback pipelining (hides "
+                         "link latency to a remote device; 0 = the "
+                         "reference's exact ship-while-computing cadence)")
     ap.add_argument("--native-io", action="store_true",
                     help="use the C++ particle_io transport (native/) instead "
                          "of the Python codec for the editor connection")
@@ -292,12 +329,14 @@ def main(argv=None) -> int:
                 sim.load_frame(frame)
                 break
             time.sleep(0.001)
-        return 0 if main_loop(frontend, sim, args.max_frames) else 1
+        return 0 if main_loop(frontend, sim, args.max_frames,
+                              readback_depth=args.readback_pipeline) else 1
 
     host, port = args.addr.rsplit(":", 1)
     devices = args.devices if args.devices in (None, "all") else int(args.devices)
     serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s,
-          n_devices=devices, record=args.record, native_io=args.native_io)
+          n_devices=devices, record=args.record, native_io=args.native_io,
+          readback_depth=args.readback_pipeline)
     return 0
 
 

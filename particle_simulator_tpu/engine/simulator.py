@@ -122,6 +122,17 @@ def _grid_for(
         if side < 2.0 * r0 or max_occupancy(finer) > finer.cap:
             break
         cfg = finer
+
+    # In-place capacity refinement: when the bucket side is already at the
+    # 2 r0 floor (no axis may split) but occupancy has >= 2x headroom after
+    # halving, halve the capacity without splitting. Both the step cost AND
+    # the Mosaic compile time scale with cap (the 64x64 reference grid:
+    # 569 s to compile at cap 16 vs 54 s at cap 8 over the tunnel) — this is
+    # what makes the default sparse 50x50 editor scene interactive. The 2x
+    # headroom keeps live clustering from out-dropping the reference's
+    # fixed cap 16.
+    while cfg.cap > 8 and 2 * max_occupancy(cfg) <= cfg.cap // 2:
+        cfg = GridConfig(cfg.bx_log2, cfg.by_log2, cfg.cap // 2, cfg.move_every)
     return cfg
 
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,6 +84,11 @@ def state_from_numpy(parts: np.ndarray, capacity: int) -> ParticleState:
 def state_to_numpy(state: ParticleState) -> np.ndarray:
     """Full (padded) state as a ``PARTICLE_DTYPE`` array, tombstones included.
     Use ``Frame.compact`` / boolean masking to drop them."""
+    # NOTE: no copy_to_host_async hint here — on the tunneled dev platform,
+    # hinting a freshly device_put array wedges the subsequent np.asarray
+    # indefinitely (observed at the daemon's prime echo). The daemon's
+    # readback pipeline hints only jit OUTPUTS (engine/daemon.py enqueue),
+    # where the overlap is measured safe and worth ~5x.
     fields = [np.asarray(a).reshape(-1) for a in state]
     parts = np.empty(fields[0].shape[0], dtype=PARTICLE_DTYPE)
     parts["x"], parts["y"], parts["vx"], parts["vy"], parts["ty"] = fields
