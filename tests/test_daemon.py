@@ -464,3 +464,36 @@ def test_metadata_only_frame_with_garbage_enums_is_ignored():
     assert int(sim.meta_record["steps_per_frame"]) == 3  # params still applied
     sim.frame_async()
     assert sim.live_count == n
+
+
+def test_readback_pipeline_depths_ship_identical_streams():
+    """The pipelined readback (depth N) must ship the exact same frame
+    sequence as the reference's ship-while-computing cadence (depth 0) —
+    only the wall-clock at which each frame leaves changes."""
+    streams = {}
+    for depth in (0, 2):
+        server = new_tcp_server(("127.0.0.1", 0))
+
+        def run(port, depth=depth):
+            reader, writer = new_tcp_client(("127.0.0.1", port))
+            frontend = Frontend(reader, writer, verbose=False)
+            sim = Simulator(GridConfig(4, 4, 8))
+            while frontend.is_connected:
+                f = frontend.read()
+                if f is not None and f.particle_count > 0:
+                    sim.load_frame(f)
+                    break
+                time.sleep(0.001)
+            main_loop(frontend, sim, max_frames=6, readback_depth=depth)
+
+        t = threading.Thread(target=run, args=(server.addr[1],), daemon=True)
+        t.start()
+        reader, writer = accept_blocking(server)
+        assert writer.write(scene_frame(n=6))
+        frames = read_frames(reader, want=6)
+        t.join(timeout=30)
+        server.close()
+        assert len(frames) >= 6
+        streams[depth] = [f.bytes for f in frames[:6]]
+
+    assert streams[0] == streams[2], "pipelining changed the shipped stream"
