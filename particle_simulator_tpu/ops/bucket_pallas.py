@@ -119,7 +119,7 @@ def _step_kernel(
     x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref, badmask_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
-    *, ty_rows: int, by: int, cap: int,
+    *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
 ):
     x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
     L = x0.shape[1]
@@ -200,39 +200,79 @@ def _step_kernel(
         i = t + 2 * cap - 1
         return badmask_ref[i : i + 1]
 
+    def pair_pass(valid_extra, *, rolled):
+        jx = rolled[:ty_rows]
+        jy = rolled[ty_rows : 2 * ty_rows]
+        jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows :], jnp.int32)
+
+        if valid_extra.dtype == jnp.int32:  # static table row: OR onto species
+            valid = (jty | valid_extra) >= 0
+        else:  # dynamic boolean mask
+            valid = (jty >= 0) & valid_extra
+
+        dx = _wrap_dist(x0, jx, inv_u32_bw)
+        dyy = _wrap_dist(y0, jy, inv_u32_bh)
+
+        d2 = dx * dx + dyy * dyy
+        d2 = jnp.where(valid, d2, F32(1.0))
+        inv_r = jax.lax.rsqrt(d2)
+        lsr = jnp.log(sigma * inv_r)
+        f_over_r = Ce * (m * jnp.exp(m * lsr) - n * jnp.exp(n * lsr)) * (inv_r * inv_r)
+        f_over_r = jnp.where(valid, f_over_r, F32(0.0))
+        fx_acc[:] = fx_acc[:] + f_over_r * dx
+        fy_acc[:] = fy_acc[:] + f_over_r * dyy
+
     # No receiver-side mask: a dead receiver lane may compute garbage force,
     # but the final outputs select on live_i, and garbage is elementwise (no
     # cross-lane propagation). Rows beyond the grid edge arrive TOMBSTONED
     # (the caller replaces the roll-wrapped edge halo rows' ty with -1), so
     # candidate validity is entirely `(jty | bad_t) >= 0` — one OR + compare.
-    for dy in (-1, 0, 1):
+    def stack3(dy):
         cx_row, cy_row, cty_row = rows[dy]
         # stack the three candidate fields along sublanes so each pass needs
         # ONE lane roll instead of three (lanes are untouched by the stack)
-        stacked = jnp.concatenate(
+        return jnp.concatenate(
             [cx_row, cy_row, jax.lax.bitcast_convert_type(cty_row, jnp.uint32)], axis=0
         )
-        for t in range(-(2 * cap - 1), 2 * cap):
-            if dy == 0 and t == 0:
-                continue  # self pair (kernel loop's j != i)
-            rolled = _roll_lanes(stacked, t)
-            jx = rolled[:ty_rows]
-            jy = rolled[ty_rows : 2 * ty_rows]
-            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows :], jnp.int32)
 
-            valid = (jty | lane_bad_const(t)) >= 0
+    if not dynamic_passes:
+        for dy in (-1, 0, 1):
+            stacked = stack3(dy)
+            for t in range(-(2 * cap - 1), 2 * cap):
+                if dy == 0 and t == 0:
+                    continue  # self pair (kernel loop's j != i)
+                pair_pass(lane_bad_const(t), rolled=_roll_lanes(stacked, t))
+    else:
+        # Dynamic-pass variant: ONE pass body, fori over all (dy, t) — the
+        # Mosaic program is ~3*(4*CAP-1)x smaller, turning the ~570 s compile
+        # of a cap-16 grid into tens of seconds at some per-pass overhead
+        # (dynamic pltpu.roll + arithmetic masks instead of the static
+        # table). Selected automatically for cap >= 16 (bucket_step_pallas).
+        from jax.experimental.pallas import tpu as _pltpu
 
-            dx = _wrap_dist(x0, jx, inv_u32_bw)
-            dyy = _wrap_dist(y0, jy, inv_u32_bh)
+        all_rows = jnp.concatenate([stack3(-1), stack3(0), stack3(1)], axis=0)
+        n_shift = 4 * cap - 1
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        slot = lane % cap
+        self_idx = 1 * n_shift + (2 * cap - 1)  # (dy=0, t=0)
 
-            d2 = dx * dx + dyy * dyy
-            d2 = jnp.where(valid, d2, F32(1.0))
-            inv_r = jax.lax.rsqrt(d2)
-            lsr = jnp.log(sigma * inv_r)
-            f_over_r = Ce * (m * jnp.exp(m * lsr) - n * jnp.exp(n * lsr)) * (inv_r * inv_r)
-            f_over_r = jnp.where(valid, f_over_r, F32(0.0))
-            fx_acc[:] = fx_acc[:] + f_over_r * dx
-            fy_acc[:] = fy_acc[:] + f_over_r * dyy
+        def pass_body(i, carry):
+            dyi = i // n_shift
+            t = i % n_shift - (2 * cap - 1)
+            rows3 = jax.lax.dynamic_slice_in_dim(
+                all_rows, dyi * 3 * ty_rows, 3 * ty_rows, axis=0
+            )
+            rolled = _pltpu.roll(rows3, -t, axis=1)
+            delta = (slot + t + 2 * cap) // cap - 2
+            ok = (
+                (lane + t >= 0) & (lane + t < L)
+                & (delta >= -1) & (delta <= 1)
+                & (i != self_idx)
+            )
+            pair_pass(ok, rolled=rolled)
+            return carry
+
+        jax.lax.fori_loop(0, 3 * n_shift, pass_body, 0)
 
     # ---- leapfrog kick-drift in u32 fixed point (particle.cuh:105-123) ----
     vx0, vy0 = vx_ref[:], vy_ref[:]
@@ -269,13 +309,16 @@ def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
     return by
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "block_rows"))
+@functools.partial(
+    jax.jit, static_argnames=("interpret", "block_rows", "dynamic_passes")
+)
 def bucket_step_pallas(
     state: ParticleState,
     p: SimParams,
     interpret: bool = False,
     block_rows: int | None = None,
     edge_rows: tuple[ParticleState, ParticleState] | None = None,
+    dynamic_passes: bool | None = None,
 ) -> ParticleState:
     """One bucket-path physics step, Pallas TPU kernel. Drop-in replacement for
     physics.bucket.bucket_step (same candidate set; f32 rounding may differ by
@@ -353,7 +396,19 @@ def bucket_step_pallas(
     ]
     out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_step_kernel, ty_rows=ty_rows, by=by, cap=cap)
+    if dynamic_passes is None:
+        # Dense grids (cap >= 16) pay ~10x the Mosaic compile time of cap 8
+        # with the fully unrolled pass pipeline (569 s vs 54 s at 64x64 over
+        # the dev tunnel); the compact dynamic-roll program is the intended
+        # fix (first-scene latency beats peak rate). Default stays OFF until
+        # the dynamic program is Mosaic-compile-validated on real hardware —
+        # interpret-mode equivalence is tested (test_pallas.py), but
+        # traced-shift pltpu.roll + dynamic sublane slices are exactly the
+        # kind of thing the real lowering may reject.
+        dynamic_passes = False
+    kernel = functools.partial(
+        _step_kernel, ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes
+    )
     nx, ny, nvx, nvy = pl.pallas_call(
         kernel,
         grid=(n_blocks,),

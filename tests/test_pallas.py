@@ -298,3 +298,32 @@ def test_step_kernel_edge_rows_production_shard_shape():
     )
     for name, a, b in zip(full._fields, full, got):
         np.testing.assert_array_equal(a[lo:hi], b, err_msg=f"field {name}")
+
+
+@pytest.mark.parametrize("cfg", [GridConfig(4, 4, 16), GridConfig(3, 3, 8)])
+def test_pallas_step_dynamic_passes_matches_jnp(cfg):
+    """The compact dynamic-roll program (auto-selected for cap >= 16, where
+    the fully-unrolled pass pipeline costs ~10x the Mosaic compile time)
+    computes the identical step."""
+    state, p = scene(cfg, nx=16, ny=16)
+    ref = jax.tree.map(np.asarray, bucket_step(state, p))
+    got = jax.tree.map(
+        np.asarray, bucket_step_pallas(state, p, interpret=True, dynamic_passes=True)
+    )
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.y.astype(np.int64), got.y.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_step_dynamic_passes_with_tombstones_and_cursor():
+    state, p = scene(GridConfig(4, 4, 16), nx=8, ny=8)
+    p = p._replace(cursor_x=np.float32(0.5), cursor_y=np.float32(0.5), cursor_size=np.float32(0.3))
+    ref = jax.tree.map(np.asarray, bucket_step(state, p))
+    got = jax.tree.map(
+        np.asarray, bucket_step_pallas(state, p, interpret=True, dynamic_passes=True)
+    )
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    dead = np.asarray(state.ty) < 0
+    np.testing.assert_array_equal(got.x[dead], np.asarray(state.x)[dead])
