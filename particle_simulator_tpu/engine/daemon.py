@@ -111,10 +111,19 @@ class DistributedFrontend:
         self.is_connected = True
         self.record = None
 
-    def _bcast(self, arr):
+    @staticmethod
+    def _bcast(arr):
         from jax.experimental import multihost_utils
 
         return multihost_utils.broadcast_one_to_all(arr)
+
+    @classmethod
+    def broadcast_abort(cls) -> None:
+        """One CLOSED header broadcast — releases peers blocked in read()
+        when process 0 dies before a frontend exists (editor unreachable)."""
+        import numpy as np
+
+        cls._bcast(np.array([cls._CLOSED, 0], np.int64))
 
     def read(self) -> Frame | None:
         import numpy as np
@@ -166,24 +175,30 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
     queue: deque = deque()  # states awaiting shipment, oldest first
     shipped = 0
 
-    def ship(state=None) -> None:
+    def ship(state=None, meta=None) -> None:
         nonlocal shipped
-        frame = sim.read_frame(state)
+        frame = sim.read_frame(state, meta=meta)
         frontend.write(frame)
         shipped += 1
         meter.tick(frame.metadata.steps_per_frame, frame.particle_count)
         if shipped % 64 == 0:
             print(f"engine: {meter.report()}", file=sys.stderr)
 
-    def enqueue(state) -> None:
-        for a in state:
-            if hasattr(a, "copy_to_host_async") and a.is_fully_addressable:
-                a.copy_to_host_async()
-        queue.append(state)
+    def enqueue(state, hint: bool) -> None:
+        # only jit outputs may be async-copy hinted: hinting a fresh
+        # device_put array (post-scene-load / re-layout states) wedges the
+        # tunneled platform's transfer stream (engine/state.py NOTE)
+        if hint:
+            for a in state:
+                if hasattr(a, "copy_to_host_async") and a.is_fully_addressable:
+                    a.copy_to_host_async()
+        # capture the metadata the state was computed under, so a live edit
+        # never stamps queued older states with the new parameters
+        queue.append((state, sim.meta_record.copy()))
 
     def flush() -> None:
         while queue:
-            ship(queue.popleft())
+            ship(*queue.popleft())
 
     # prime: echo the prepared first scene and dispatch its first frame
     ship()
@@ -191,6 +206,7 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
 
     while frontend.is_connected and (max_frames is None or shipped < max_frames):
         prev_state = sim.state  # the frame just dispatched resolves into this
+        prev_is_dispatched = sim.state_is_dispatched
         sim.frame_async()  # enqueue NEXT frame's steps (overlaps readback below)
 
         incoming = frontend.read()
@@ -209,11 +225,11 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
                 sim.frame_async()
                 continue
 
-        enqueue(prev_state)
+        enqueue(prev_state, hint=prev_is_dispatched)
         if len(queue) > readback_depth:
-            ship(queue.popleft())
+            ship(*queue.popleft())
     while queue and frontend.is_connected and (max_frames is None or shipped < max_frames):
-        ship(queue.popleft())
+        ship(*queue.popleft())
     return shipped
 
 
@@ -235,15 +251,22 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
     sim = Simulator(grid or REFERENCE_GRID, mesh=mesh)
 
     multiproc = jax.process_count() > 1
-    if multiproc and (not mesh or not any(
-        d.process_index != 0 for d in mesh.devices.flat
-    )):
+    if multiproc and (not mesh or {
+        d.process_index for d in mesh.devices.flat
+    } != set(range(jax.process_count()))):
         raise SystemExit(
             "engine: multi-process run needs --devices all (or a count "
-            "spanning every host's chips) so the mesh covers all processes"
+            "spanning every host's chips) so EVERY process owns mesh devices"
         )
     if not multiproc or jax.process_index() == 0:
-        frontend = Frontend.connect_tcp(addr, retry_s=retry_s, native=native_io)
+        try:
+            frontend = Frontend.connect_tcp(addr, retry_s=retry_s, native=native_io)
+        except OSError:
+            if multiproc:
+                # peers are (or will be) blocked in the broadcast — release
+                # them with a CLOSED code before dying
+                DistributedFrontend.broadcast_abort()
+            raise
         if record:
             frontend.record = Writer.open_file(record)
             print(f"engine: recording outbound frames to {record}", file=sys.stderr)

@@ -146,7 +146,9 @@ def _run_compact(state: ParticleState, p: SimParams) -> ParticleState:
 
 @jax.jit
 def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
-    return run_frame_bucket(state, p)
+    # this runner serves the CPU fallback devices — never unroll, even on a
+    # TPU host (XLA-CPU compile time at large grids dwarfs loop overhead)
+    return run_frame_bucket(state, p, unroll=False)
 
 
 @functools.partial(jax.jit, static_argnames=("block_rows",))
@@ -183,6 +185,11 @@ class Simulator:
         self.accel = _accelerator_device()
         self.cpu = _cpu_device()
         self.state: Optional[ParticleState] = None
+        # True when self.state is a jit OUTPUT (frame_async), False right
+        # after a host upload (load_frame / re-layout). The daemon's readback
+        # pipeline may only copy_to_host_async jit outputs — hinting a fresh
+        # device_put array wedges the tunneled platform (engine/state.py NOTE)
+        self.state_is_dispatched = False
         self.params: Optional[SimParams] = None
         self.meta_record: Optional[np.ndarray] = None
         self.data_structure = DataStructure.MATRIX_BUCKETS
@@ -201,7 +208,27 @@ class Simulator:
         meta = frame.metadata
         self.meta_record = meta.copy()
         self.data_structure = meta.data_structure
-        jdev, self.active_device = self._target_device(meta.device)
+        requested_device = meta.device
+        if jax.process_count() > 1 and (
+            self.data_structure != DataStructure.MATRIX_BUCKETS
+            or requested_device != Device.GPU
+        ):
+            # Multi-process runs shard the bucket grid over the global mesh;
+            # CompactArray and single-host CPU devices have no global layout
+            # (device_put to jax.devices()[0] would crash every non-zero
+            # process). Every process sees the same frame bytes
+            # (DistributedFrontend), so this coercion is identical everywhere.
+            import sys as _sys
+
+            print(
+                "engine: multi-process run forces MatrixBuckets/accelerator "
+                f"(requested {self.data_structure.name}/{requested_device.name})",
+                file=_sys.stderr,
+            )
+            self.data_structure = DataStructure.MATRIX_BUCKETS
+            requested_device = Device.GPU
+            self.meta_record["data_structure"] = int(self.data_structure)
+        jdev, self.active_device = self._target_device(requested_device)
         # echo the actually-active device in subsequent outbound metadata
         self.meta_record["device"] = int(self.active_device)
 
@@ -242,6 +269,7 @@ class Simulator:
                 self.state = shard_state(state, self.mesh)
             else:
                 self.state = jax.device_put(state, jdev)
+        self.state_is_dispatched = False  # fresh host upload, not a jit output
         self.params = SimParams.from_record(self.meta_record)
 
     def update_metadata(self, frame: Frame) -> None:
@@ -269,6 +297,11 @@ class Simulator:
             requested_ds = self.data_structure
             new["device"] = int(self.meta_record["device"])
             new["data_structure"] = int(self.data_structure)
+        if jax.process_count() > 1:
+            # multi-process: only the sharded MatrixBuckets/accelerator layout
+            # exists (see load_frame) — ignore live switch requests
+            requested_dev = self.active_device
+            requested_ds = self.data_structure
         _, effective_dev = self._target_device(requested_dev)
         if requested_ds != self.data_structure or effective_dev != self.active_device:
             # Live structure/device switch: re-layout the running scene.
@@ -318,6 +351,7 @@ class Simulator:
             )
         else:
             self.state = _run_bucket(self.state, self.params)
+        self.state_is_dispatched = True
 
     def sync(self) -> None:
         if self.state is not None:
@@ -332,20 +366,23 @@ class Simulator:
         ships it to the editor (parallel/multihost.py)."""
         x = state.x
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
-            from jax.experimental import multihost_utils
+            from particle_simulator_tpu.parallel.multihost import gather_global
 
-            state = ParticleState(
-                *(multihost_utils.process_allgather(a, tiled=True) for a in state)
-            )
+            state = gather_global(state)
         return state_to_numpy(state)
 
-    def read_frame(self, state: Optional[ParticleState] = None) -> Frame:
+    def read_frame(self, state: Optional[ParticleState] = None,
+                   meta: Optional[np.ndarray] = None) -> Frame:
         """Device -> host readback of a state (default: current), compacted and
         wrapped in a wire frame (frontend.write semantics: tombstones removed
-        before shipping, frontend.hpp:50-56)."""
+        before shipping, frontend.hpp:50-56). ``meta`` overrides the metadata
+        record stamped on the frame (the daemon's readback pipeline captures
+        it at enqueue time so queued frames keep the params they were
+        computed under)."""
         state = self.state if state is None else state
         parts = self._state_numpy(state)
-        frame = Frame.from_particles(self.meta_record, parts[parts["ty"] >= 0])
+        rec = self.meta_record if meta is None else meta
+        frame = Frame.from_particles(rec, parts[parts["ty"] >= 0])
         return frame
 
     @property

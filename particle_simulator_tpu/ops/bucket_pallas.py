@@ -247,9 +247,8 @@ def _step_kernel(
         # Mosaic program is ~3*(4*CAP-1)x smaller, turning the ~570 s compile
         # of a cap-16 grid into tens of seconds at some per-pass overhead
         # (dynamic pltpu.roll + arithmetic masks instead of the static
-        # table). Selected automatically for cap >= 16 (bucket_step_pallas).
-        from jax.experimental.pallas import tpu as _pltpu
-
+        # table). Opt-in via bucket_step_pallas(dynamic_passes=True) until
+        # the dynamic lowering is validated on real hardware.
         all_rows = jnp.concatenate([stack3(-1), stack3(0), stack3(1)], axis=0)
         n_shift = 4 * cap - 1
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
@@ -262,7 +261,7 @@ def _step_kernel(
             rows3 = jax.lax.dynamic_slice_in_dim(
                 all_rows, dyi * 3 * ty_rows, 3 * ty_rows, axis=0
             )
-            rolled = _pltpu.roll(rows3, -t, axis=1)
+            rolled = pltpu.roll(rows3, -t, axis=1)
             delta = (slot + t + 2 * cap) // cap - 2
             ok = (
                 (lane + t >= 0) & (lane + t < L)
@@ -385,17 +384,6 @@ def bucket_step_pallas(
     # (n_blocks, 8, L): [xa, xb, ya, yb, tya, tyb, 0, 0] per block
     halo = jnp.stack([xa, xb, ya, yb, tya, tyb, zero, zero], axis=1).reshape(n_blocks * 8, L)
     halo_spec = pl.BlockSpec((8, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    badmask = jnp.asarray(_lane_bad_table(cap, L))
-    badmask_spec = pl.BlockSpec((4 * cap, L), lambda i: (0, 0), memory_space=pltpu.VMEM)
-
-    out_shape = [
-        jax.ShapeDtypeStruct((by, L), jnp.uint32),
-        jax.ShapeDtypeStruct((by, L), jnp.uint32),
-        jax.ShapeDtypeStruct((by, L), jnp.float32),
-        jax.ShapeDtypeStruct((by, L), jnp.float32),
-    ]
-    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-
     if dynamic_passes is None:
         # Dense grids (cap >= 16) pay ~10x the Mosaic compile time of cap 8
         # with the fully unrolled pass pipeline (569 s vs 54 s at 64x64 over
@@ -406,6 +394,25 @@ def bucket_step_pallas(
         # traced-shift pltpu.roll + dynamic sublane slices are exactly the
         # kind of thing the real lowering may reject.
         dynamic_passes = False
+
+    # the dynamic-pass kernel computes lane validity arithmetically and never
+    # reads the table: ship a minimal stub instead of 4*cap x L of VMEM
+    if dynamic_passes:
+        badmask = jnp.zeros((8, L), jnp.int32)
+    else:
+        badmask = jnp.asarray(_lane_bad_table(cap, L))
+    badmask_spec = pl.BlockSpec(
+        (badmask.shape[0], L), lambda i: (0, 0), memory_space=pltpu.VMEM
+    )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((by, L), jnp.uint32),
+        jax.ShapeDtypeStruct((by, L), jnp.uint32),
+        jax.ShapeDtypeStruct((by, L), jnp.float32),
+        jax.ShapeDtypeStruct((by, L), jnp.float32),
+    ]
+    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+
     kernel = functools.partial(
         _step_kernel, ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes
     )

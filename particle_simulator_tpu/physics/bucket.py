@@ -473,14 +473,21 @@ def chunked_frame_schedule(state, steps, move_every: int, step, move, unroll: bo
     return jax.lax.fori_loop(0, n_chunks, chunk, state)
 
 
-def run_frame_bucket(state: ParticleState, p: SimParams, move_every: int = 16) -> ParticleState:
+def run_frame_bucket(state: ParticleState, p: SimParams, move_every: int = 16,
+                     unroll: bool | None = None) -> ParticleState:
     """One frame = steps_per_frame bucket steps with a rebucket pass every
     ``move_every`` steps, scheduled like bucket_kernel_run_async
     (kernel_bucket.cuh:181-206): first move lands before the 2nd step of the
-    frame, then every ``move_every`` steps after."""
-    # unroll only where it pays (TPU): the CPU/fallback path prefers the
-    # small trace — XLA-CPU compile time at large grids dwarfs loop overhead
+    frame, then every ``move_every`` steps after.
+
+    ``unroll=None`` unrolls chunks only on a TPU default backend; callers
+    that place this on a specific device (the engine's CPU fallback path on
+    a TPU host) must pass it explicitly — inside jit the arrays are tracers,
+    so the target device can't be inferred here, and the unrolled trace is
+    an XLA-CPU compile-time blowup at large grids."""
+    if unroll is None:
+        unroll = jax.default_backend() == "tpu"
     return chunked_frame_schedule(
         state, p.steps_per_frame, move_every, lambda s: bucket_step(s, p), bucket_move,
-        unroll=jax.default_backend() == "tpu",
+        unroll=unroll,
     )

@@ -302,9 +302,9 @@ def test_step_kernel_edge_rows_production_shard_shape():
 
 @pytest.mark.parametrize("cfg", [GridConfig(4, 4, 16), GridConfig(3, 3, 8)])
 def test_pallas_step_dynamic_passes_matches_jnp(cfg):
-    """The compact dynamic-roll program (auto-selected for cap >= 16, where
-    the fully-unrolled pass pipeline costs ~10x the Mosaic compile time)
-    computes the identical step."""
+    """The compact dynamic-roll program (opt-in; targets cap >= 16 grids,
+    where the fully-unrolled pass pipeline costs ~10x the Mosaic compile
+    time) computes the identical step."""
     state, p = scene(cfg, nx=16, ny=16)
     ref = jax.tree.map(np.asarray, bucket_step(state, p))
     got = jax.tree.map(
