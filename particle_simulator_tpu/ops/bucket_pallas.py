@@ -243,35 +243,34 @@ def _step_kernel(
                     continue  # self pair (kernel loop's j != i)
                 pair_pass(lane_bad_const(t), rolled=_roll_lanes(stacked, t))
     else:
-        # Dynamic-pass variant: ONE pass body, fori over all (dy, t) — the
-        # Mosaic program is ~3*(4*CAP-1)x smaller, turning the ~570 s compile
-        # of a cap-16 grid into tens of seconds at some per-pass overhead
-        # (dynamic pltpu.roll + arithmetic masks instead of the static
-        # table). Opt-in via bucket_step_pallas(dynamic_passes=True) until
-        # the dynamic lowering is validated on real hardware.
-        all_rows = jnp.concatenate([stack3(-1), stack3(0), stack3(1)], axis=0)
+        # Dynamic-pass variant: one pass body PER dy (3 total), fori over the
+        # shift t — the Mosaic program is ~(4*CAP-1)x smaller, turning the
+        # ~570 s compile of a cap-16 grid into tens of seconds at some
+        # per-pass overhead (dynamic pltpu.roll + arithmetic masks instead
+        # of the static table). dy stays a Python loop: Mosaic has no
+        # dynamic_slice-of-value lowering to select a stack at runtime.
+        # Opt-in via bucket_step_pallas(dynamic_passes=True).
         n_shift = 4 * cap - 1
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
         slot = lane % cap
-        self_idx = 1 * n_shift + (2 * cap - 1)  # (dy=0, t=0)
 
-        def pass_body(i, carry):
-            dyi = i // n_shift
-            t = i % n_shift - (2 * cap - 1)
-            rows3 = jax.lax.dynamic_slice_in_dim(
-                all_rows, dyi * 3 * ty_rows, 3 * ty_rows, axis=0
-            )
-            rolled = pltpu.roll(rows3, -t, axis=1)
-            delta = (slot + t + 2 * cap) // cap - 2
-            ok = (
-                (lane + t >= 0) & (lane + t < L)
-                & (delta >= -1) & (delta <= 1)
-                & (i != self_idx)
-            )
-            pair_pass(ok, rolled=rolled)
-            return carry
+        for dy in (-1, 0, 1):
+            stacked = stack3(dy)
 
-        jax.lax.fori_loop(0, 3 * n_shift, pass_body, 0)
+            def pass_body(i, carry, stacked=stacked, dy=dy):
+                t = i - (2 * cap - 1)
+                rolled = pltpu.roll(stacked, -t, axis=1)
+                delta = (slot + t + 2 * cap) // cap - 2
+                ok = (
+                    (lane + t >= 0) & (lane + t < L)
+                    & (delta >= -1) & (delta <= 1)
+                )
+                if dy == 0:
+                    ok = ok & (t != 0)  # self pair (kernel loop's j != i)
+                pair_pass(ok, rolled=rolled)
+                return carry
+
+            jax.lax.fori_loop(0, n_shift, pass_body, 0)
 
     # ---- leapfrog kick-drift in u32 fixed point (particle.cuh:105-123) ----
     vx0, vy0 = vx_ref[:], vy_ref[:]
@@ -387,12 +386,12 @@ def bucket_step_pallas(
     if dynamic_passes is None:
         # Dense grids (cap >= 16) pay ~10x the Mosaic compile time of cap 8
         # with the fully unrolled pass pipeline (569 s vs 54 s at 64x64 over
-        # the dev tunnel); the compact dynamic-roll program is the intended
-        # fix (first-scene latency beats peak rate). Default stays OFF until
-        # the dynamic program is Mosaic-compile-validated on real hardware —
-        # interpret-mode equivalence is tested (test_pallas.py), but
-        # traced-shift pltpu.roll + dynamic sublane slices are exactly the
-        # kind of thing the real lowering may reject.
+        # the dev tunnel). The compact dynamic-roll program compiles and runs
+        # on real hardware (measured: 229 s compile at cap 16 — better, not
+        # great; Mosaic's per-body cost doesn't shrink linearly) with
+        # summation-order f32 deltas vs the unrolled program. It stays
+        # opt-in: the in-place cap refinement (_grid_for) already steers
+        # sparse scenes to cap 8, which is where the engine actually lands.
         dynamic_passes = False
 
     # the dynamic-pass kernel computes lane validity arithmetically and never
