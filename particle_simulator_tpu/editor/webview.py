@@ -532,6 +532,7 @@ class WebEditor:
     def __init__(self, backend_addr=("127.0.0.1", 53123), size: int = 512):
         self.editor = Editor(Backend(addr=backend_addr))
         self.size = size
+        self._bin_cache = None  # (frame, count, vmax, body bytes)
         self.lock = threading.Lock()
         self._stop = False
         self._rng = np.random.default_rng()
@@ -596,30 +597,41 @@ class WebEditor:
             return _BIN_HEADER.pack(_BIN_MAGIC, 0, 0.0, 0.0, play_speed, 1.0, 1.0,
                                     1.0, 0.0, flags)
         meta = frame.metadata
-        parts = frame.particles
-        live = parts["ty"] >= 0
-        if not live.all():
-            parts = parts[live]
-        n = len(parts)
-        vmax = 1.0
-        if n:
-            vmax = max(
-                1.0,
-                float(np.abs(parts["vx"]).max(initial=0.0)),
-                float(np.abs(parts["vy"]).max(initial=0.0)),
-            )
-        body = np.empty(n, dtype=[("x", "<u2"), ("y", "<u2"), ("vx", "<i2"), ("vy", "<i2")])
-        body["x"] = (parts["x"] >> np.uint32(16)).astype(np.uint16)
-        body["y"] = (parts["y"] >> np.uint32(16)).astype(np.uint16)
-        scale = np.float32(32767.0 / vmax)
-        body["vx"] = np.clip(parts["vx"] * scale, -32767, 32767).astype(np.int16)
-        body["vy"] = np.clip(parts["vy"] * scale, -32767, 32767).astype(np.int16)
+        # Body cache: timeline frames are immutable once pushed and the
+        # browser polls much faster than the engine ships (~40 ms encode at
+        # 1M x ~20 Hz poll otherwise burns a CPU core); only the 40-byte
+        # header changes between polls. Edit-mode frames are fresh copies
+        # each snapshot, so they miss the cache and re-encode live strokes.
+        cached = self._bin_cache
+        if cached is not None and cached[0] is frame:
+            n, vmax, body_bytes = cached[1], cached[2], cached[3]
+        else:
+            parts = frame.particles
+            live = parts["ty"] >= 0
+            if not live.all():
+                parts = parts[live]
+            n = len(parts)
+            vmax = 1.0
+            if n:
+                vmax = max(
+                    1.0,
+                    float(np.abs(parts["vx"]).max(initial=0.0)),
+                    float(np.abs(parts["vy"]).max(initial=0.0)),
+                )
+            body = np.empty(n, dtype=[("x", "<u2"), ("y", "<u2"), ("vx", "<i2"), ("vy", "<i2")])
+            body["x"] = (parts["x"] >> np.uint32(16)).astype(np.uint16)
+            body["y"] = (parts["y"] >> np.uint32(16)).astype(np.uint16)
+            scale = np.float32(32767.0 / vmax)
+            body["vx"] = np.clip(parts["vx"] * scale, -32767, 32767).astype(np.int16)
+            body["vy"] = np.clip(parts["vy"] * scale, -32767, 32767).astype(np.int16)
+            body_bytes = body.tobytes()
+            self._bin_cache = (frame, n, vmax, body_bytes)
         header = _BIN_HEADER.pack(
             _BIN_MAGIC, n, float(exact), float(play_time), float(play_speed),
             float(meta.box_width), float(meta.box_height), float(vmax),
             float(meta.species(0).sigma), flags,
         )
-        return header + body.tobytes()
+        return header + body_bytes
 
     # -- controls -----------------------------------------------------------------
     def control(self, req: dict) -> None:
