@@ -455,22 +455,24 @@ def _place_kernel(
     tym_ref, ty_ref, typ_ref,
     vxm_ref, vx_ref, vxp_ref,
     vym_ref, vy_ref, vyp_ref,
-    rkm_ref, rk_ref, rkp_ref,
+    idm_ref, id_ref, idp_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
-    *, ty_rows: int, by: int, bx: int, cap: int, bx_log2: int, by_log2: int,
+    *, ty_rows: int, by: int, cap: int,
 ):
     """Rebucket placement: each output slot pulls the (unique) candidate in
     its 3x3 neighborhood whose precomputed destination is this slot. Same
     roll-enumeration structure as the force kernel; ~10 select ops per
-    candidate instead of an XLA scatter (which costs ~30 ms at 1M)."""
+    candidate instead of an XLA scatter (which costs ~30 ms at 1M). The
+    match key is the packed global destination slot id (row*L + lane), so a
+    pass costs ONE compare instead of recomputing target buckets from the
+    rolled coordinates."""
     p_id = pl.program_id(0)
     L = x_ref.shape[1]
 
     row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
     lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
     my_by = p_id.astype(jnp.int32) * ty_rows + row_iota  # global bucket row
-    my_bx = lane // cap
-    my_slot = lane % cap
+    my_id = my_by * L + lane  # global flat slot id (C-order, = dest encoding)
 
     def above(a_m, a):
         return jnp.concatenate([a_m[ty_rows - 1 :], a[: ty_rows - 1]], axis=0)
@@ -487,9 +489,9 @@ def _place_kernel(
     ovy_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
     oty_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
 
-    fields0 = (x_ref[:], y_ref[:], ty_ref[:], vx_ref[:], vy_ref[:], rk_ref[:])
-    fields_m = (xm_ref[:], ym_ref[:], tym_ref[:], vxm_ref[:], vym_ref[:], rkm_ref[:])
-    fields_p = (xp_ref[:], yp_ref[:], typ_ref[:], vxp_ref[:], vyp_ref[:], rkp_ref[:])
+    fields0 = (x_ref[:], y_ref[:], ty_ref[:], vx_ref[:], vy_ref[:], id_ref[:])
+    fields_m = (xm_ref[:], ym_ref[:], tym_ref[:], vxm_ref[:], vym_ref[:], idm_ref[:])
+    fields_p = (xp_ref[:], yp_ref[:], typ_ref[:], vxp_ref[:], vyp_ref[:], idp_ref[:])
 
     for dy in (-1, 0, 1):
         if dy == -1:
@@ -517,16 +519,10 @@ def _place_kernel(
             jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
             jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
             jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
-            jrk = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+            jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
 
-            tgt_bx = jax.lax.shift_right_logical(jx, jnp.uint32(32 - bx_log2)).astype(jnp.int32)
-            tgt_by = jax.lax.shift_right_logical(jy, jnp.uint32(32 - by_log2)).astype(jnp.int32)
-            match = (
-                row_ok
-                & (jrk == my_slot)  # rank encodes keep: dropped = -1
-                & (tgt_bx == my_bx)
-                & (tgt_by == my_by)
-            )
+            # destid encodes keep: dropped = -1, never equal to any my_id
+            match = row_ok & (jid == my_id)
             ox_ref[:] = jnp.where(match, jx, ox_ref[:])
             oy_ref[:] = jnp.where(match, jy, oy_ref[:])
             ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
@@ -548,8 +544,9 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
     n = by * bx * cap
 
     dest, keep = move_dest_direct(state)
-    # rank per slot; -1 = not placed anywhere (dropped/dead)
-    rank = jnp.where(keep, dest % cap, -1).astype(jnp.int32).reshape(by, L)
+    # packed destination slot id per source slot; -1 = dropped/dead (never
+    # equal to a real id, so the kernel's single compare handles keep too)
+    destid = jnp.where(keep, dest, -1).astype(jnp.int32).reshape(by, L)
 
     def flat(a):
         return a.reshape(by, L)
@@ -566,10 +563,7 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
         )
 
     out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(
-        _place_kernel, ty_rows=ty_rows, by=by, bx=bx, cap=cap,
-        bx_log2=int(np.log2(bx)), by_log2=int(np.log2(by)),
-    )
+    kernel = functools.partial(_place_kernel, ty_rows=ty_rows, by=by, cap=cap)
     triplet = lambda a: (flat(a), flat(a), flat(a))
     nx, ny, nvx, nvy, nty = pl.pallas_call(
         kernel,
@@ -586,7 +580,7 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
         interpret=interpret,
     )(
         *triplet(state.x), *triplet(state.y), *triplet(state.ty),
-        *triplet(state.vx), *triplet(state.vy), *triplet(rank),
+        *triplet(state.vx), *triplet(state.vy), *triplet(destid),
     )
 
     shape = state.x.shape
