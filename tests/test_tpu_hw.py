@@ -104,3 +104,53 @@ def test_compiled_frame_runner_envelope_on_hardware():
     # differences; observed max ~207 fixed-point units (5e-8 of the box)
     np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=1024)
     np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-2, atol=0.5)
+
+
+def test_leapfrog_10k_steps_energy_stable_on_hardware():
+    """The BASELINE fidelity criterion on the real chip: 10k leapfrog steps
+    through the compiled bucket kernel with bounded energy (the reference's
+    own stability claim, doc/project.typ:209). Energy via the NumPy oracle
+    on the host readback; the 3x3-bucket cutoff on a 4x4 grid covers most of
+    the box, so the all-pairs oracle energy is conserved to the usual
+    envelope."""
+    from particle_simulator_tpu.engine.state import state_to_numpy
+    from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
+    from particle_simulator_tpu.physics import oracle
+
+    # 10 nm box over 8x8 buckets (1.25 nm ~ 3 sigma sides): the lattice spans
+    # several buckets with ~2x occupancy headroom, so no overflow drops skew
+    # the energy (in the 50 nm default box the whole lattice would sit inside
+    # ONE 12.5 nm bucket and overflow immediately)
+    cfg = GridConfig(3, 3, 16)
+    frame = Frame.new()
+    meta = frame.metadata
+    meta.box_width = meta.box_height = 10e-9
+    lat = ParticleLattice((8, 8), distance_factor=1.12, velocity=(0.0, 10.0))
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2),
+                   rng=np.random.default_rng(3))
+    meta.step_dt = 10e-15
+    meta.steps_per_frame = 100
+    rec = meta.copy()
+
+    layout = bucketize_numpy(frame.particles, cfg)
+    state = jax.device_put(
+        state_to_grid(state_from_numpy(layout, cfg.capacity), cfg), tpu
+    )
+    p = SimParams.from_record(rec)
+
+    def energy(s):
+        parts = state_to_numpy(s)
+        return oracle.total_energy(parts[parts["ty"] >= 0], rec)
+
+    fn = jax.jit(lambda s, q: run_frame_bucket_pallas(s, q))
+    e0 = energy(state)
+    energies = []
+    for _ in range(100):  # 100 frames x 100 steps = 10k steps
+        state = fn(state, p)
+        energies.append(energy(state))
+
+    e = np.array(energies)
+    assert np.all(np.isfinite(e)), "energy blew up (NaN/inf)"
+    scale = max(abs(e0), 1e-21)
+    drift = np.abs(e - e0) / scale
+    assert drift.max() < 0.10, f"energy drift {drift.max():.3%} exceeds 10%"
