@@ -276,6 +276,17 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
     if multiproc:
         frontend = DistributedFrontend(frontend)
 
+    # Warm the kernel cache for the DEFAULT editor scene's grid while idling
+    # for the first frame: the 50x50 lattice lands on a 64x64x8 grid whose
+    # first Mosaic compile costs ~1 min over the dev tunnel — hiding it
+    # behind the user's first interaction makes the out-of-box scene load
+    # feel instant. jit compilation is thread-safe; a different first scene
+    # at worst queues its compile behind this one.
+    if not multiproc and mesh is None:
+        import threading
+
+        threading.Thread(target=sim.warm_default_grid, daemon=True).start()
+
     # wait for the first non-empty frame (cuda_simulator.cu:43-49)
     while frontend.is_connected:
         frame = frontend.read()

@@ -29,6 +29,7 @@ import functools
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from particle_simulator_tpu.engine.state import (
@@ -356,6 +357,32 @@ class Simulator:
     def sync(self) -> None:
         if self.state is not None:
             jax.block_until_ready(self.state)
+
+    def warm_default_grid(self) -> None:
+        """Pre-compile the frame runner for the DEFAULT editor scene's grid
+        (the 50x50 lattice -> 64x64x8 under _grid_for) so the out-of-box
+        first scene hits a warm jit cache — the first Mosaic compile costs
+        ~1 min over a remote link. Safe to run concurrently with the main
+        loop (jit compilation is thread-safe); a no-op off the accelerator
+        or on any failure (warming is best-effort)."""
+        try:
+            if self.accel is None:
+                return
+            from particle_simulator_tpu.io.frame import default_metadata
+
+            cfg = GridConfig(6, 6, 8)
+            shape = cfg.grid_shape
+            dummy = ParticleState(
+                jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32),
+                jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
+                jnp.full(shape, -1, jnp.int32),
+            )
+            dummy = jax.device_put(dummy, self.accel)
+            params = SimParams.from_record(default_metadata())
+            out = _run_bucket_pallas(dummy, params, block_rows=8)
+            jax.block_until_ready(out)
+        except Exception:  # pragma: no cover - warming must never hurt
+            pass
 
     # -- readback ----------------------------------------------------------------
     @staticmethod
