@@ -594,6 +594,7 @@ class WebEditor:
         """
         frame, exact, play_time, play_speed, flags = self._display_snapshot()
         if frame is None:
+            self._bin_cache = None  # don't pin the last scene's ~28 MB at 1M
             return _BIN_HEADER.pack(_BIN_MAGIC, 0, 0.0, 0.0, play_speed, 1.0, 1.0,
                                     1.0, 0.0, flags)
         meta = frame.metadata

@@ -29,7 +29,6 @@ import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from particle_simulator_tpu.engine.state import (
@@ -128,10 +127,11 @@ def _grid_for(
     # 2 r0 floor (no axis may split) but occupancy has >= 2x headroom after
     # halving, halve the capacity without splitting. Both the step cost AND
     # the Mosaic compile time scale with cap (the 64x64 reference grid:
-    # 569 s to compile at cap 16 vs 54 s at cap 8 over the tunnel) — this is
-    # what makes the default sparse 50x50 editor scene interactive. The 2x
+    # 569 s to compile at cap 16 vs 54 s at cap 8 over the tunnel). The 2x
     # headroom keeps live clustering from out-dropping the reference's
-    # fixed cap 16.
+    # fixed cap 16 — note the default 50x50 editor lattice (max occupancy 6)
+    # deliberately FAILS this gate and stays on the drop-safe cap-16 grid;
+    # the daemon's warm-start thread hides that grid's compile instead.
     while cfg.cap > 8 and 2 * max_occupancy(cfg) <= cfg.cap // 2:
         cfg = GridConfig(cfg.bx_log2, cfg.by_log2, cfg.cap // 2, cfg.move_every)
     return cfg
@@ -359,25 +359,35 @@ class Simulator:
             jax.block_until_ready(self.state)
 
     def warm_default_grid(self) -> None:
-        """Pre-compile the frame runner for the DEFAULT editor scene's grid
-        (the 50x50 lattice -> 64x64x8 under _grid_for) so the out-of-box
-        first scene hits a warm jit cache — the first Mosaic compile costs
-        ~1 min over a remote link. Safe to run concurrently with the main
+        """Pre-compile the frame runner for the DEFAULT editor scene's grid so
+        the out-of-box first scene hits a warm jit cache — the first Mosaic
+        compile costs minutes over a remote link. The grid is derived by
+        running the ACTUAL default 50x50 lattice through _grid_for (it
+        resolves to 64x64x16: max occupancy 6 keeps the in-place cap
+        refinement gated off), so the warmed jit signature matches the real
+        first-scene call exactly. Safe to run concurrently with the main
         loop (jit compilation is thread-safe); a no-op off the accelerator
         or on any failure (warming is best-effort)."""
         try:
             if self.accel is None:
                 return
-            from particle_simulator_tpu.io.frame import default_metadata
+            from particle_simulator_tpu.engine.state import empty_state
+            from particle_simulator_tpu.io.frame import Frame, default_metadata
+            from particle_simulator_tpu.io.presets import ParticleLattice
 
-            cfg = GridConfig(6, 6, 8)
-            shape = cfg.grid_shape
-            dummy = ParticleState(
-                jnp.zeros(shape, jnp.uint32), jnp.zeros(shape, jnp.uint32),
-                jnp.zeros(shape, jnp.float32), jnp.zeros(shape, jnp.float32),
-                jnp.full(shape, -1, jnp.int32),
+            frame = Frame.new()
+            meta = frame.metadata
+            lat = ParticleLattice((50, 50), distance_factor=1.1)
+            lat.hex_square(
+                frame, (meta.box_width / 2, meta.box_height / 2),
+                rng=np.random.default_rng(0),
             )
-            dummy = jax.device_put(dummy, self.accel)
+            parts = frame.particles
+            cfg = _grid_for(
+                parts[parts["ty"] >= 0], self.base_grid, meta.box_width,
+                meta.species(0).force0_r(), box_height=meta.box_height,
+            )
+            dummy = jax.device_put(empty_state(cfg.grid_shape), self.accel)
             params = SimParams.from_record(default_metadata())
             out = _run_bucket_pallas(dummy, params, block_rows=8)
             jax.block_until_ready(out)

@@ -6,8 +6,13 @@ not values). This module compares the actually-compiled TPU kernels against
 the jnp reference path on the same scene, with the same ulp envelopes the
 interpret-mode tests use.
 
-Run manually on a TPU host:  python -m pytest tests/test_tpu_hw.py -q
-(make test pins JAX_PLATFORMS=cpu, so these always skip in CI.)
+Run manually on a TPU host:
+
+    PS_TPU_TEST_PLATFORM=axon,cpu python -m pytest tests/test_tpu_hw.py -q
+
+(conftest pins JAX_PLATFORMS=cpu unless PS_TPU_TEST_PLATFORM overrides it,
+so these always skip in CPU CI; the ",cpu" is required — the comparisons
+need the CPU backend alongside the TPU plugin.)
 """
 
 import numpy as np
@@ -103,7 +108,9 @@ def test_compiled_frame_runner_envelope_on_hardware():
     # 10 steps of the stiff r^-14 force compound hardware-FMA/rounding
     # differences; observed max ~207 fixed-point units (5e-8 of the box)
     np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=1024)
+    np.testing.assert_allclose(ref.y.astype(np.int64), got.y.astype(np.int64), rtol=0, atol=1024)
     np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-2, atol=0.5)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-2, atol=0.5)
 
 
 def test_leapfrog_10k_steps_energy_stable_on_hardware():
