@@ -272,6 +272,19 @@ class Simulator:
                 self.state = jax.device_put(state, jdev)
         self.state_is_dispatched = False  # fresh host upload, not a jit output
         self.params = SimParams.from_record(self.meta_record)
+        import sys
+
+        desc = (
+            f"grid {self.grid.bx}x{self.grid.by}x{self.grid.cap}"
+            if self.data_structure == DataStructure.MATRIX_BUCKETS
+            else f"compact capacity {self.state.ty.size}"
+        )
+        print(
+            f"engine: scene loaded ({len(live)} live, {desc}, "
+            f"{self.active_device.display_name}); first compile of a new "
+            "shape may take a while",
+            file=sys.stderr,
+        )
 
     def update_metadata(self, frame: Frame) -> None:
         """Metadata-only frame (particle_count == 0): live reconfigure
