@@ -176,3 +176,106 @@ def write_png(path: str, img: np.ndarray) -> None:
     )
     with open(path, "wb") as f:
         f.write(payload)
+
+
+# ---------------------------------------------------------------------------
+# Animated GIF output (the reference ships its states-of-matter demos as
+# doc/*.gif; this is the dependency-free encoder for ours)
+# ---------------------------------------------------------------------------
+
+def _gif_quantize(img: np.ndarray) -> np.ndarray:
+    """RGB8 -> palette indices in a fixed 6x7x6 color cube (252 entries) —
+    plenty for the renderer's background + velocity heat ramp."""
+    r = (img[..., 0].astype(np.uint16) * 5 + 127) // 255
+    g = (img[..., 1].astype(np.uint16) * 6 + 127) // 255
+    b = (img[..., 2].astype(np.uint16) * 5 + 127) // 255
+    return (r * 42 + g * 6 + b).astype(np.uint8)
+
+
+def _gif_palette() -> bytes:
+    pal = bytearray()
+    for r in range(6):
+        for g in range(7):
+            for b in range(6):
+                pal += bytes((r * 255 // 5, g * 255 // 6, b * 255 // 5))
+    pal += b"\x00" * (256 * 3 - len(pal))  # pad the 252-entry cube to 256
+    return bytes(pal)
+
+
+def _gif_lzw(indices: bytes, min_code: int = 8) -> bytes:
+    """GIF-variant LZW: variable code width from min_code+1, table reset at
+    4096 codes."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, size: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += size
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes([i]): i for i in range(clear)}
+
+    table = fresh()
+    next_code = end + 1
+    size = min_code + 1
+    emit(clear, size)
+    w = b""
+    for byte in indices:
+        wk = w + bytes([byte])
+        if wk in table:
+            w = wk
+            continue
+        emit(table[w], size)
+        if next_code >= 4096:
+            # table full: clear instead of adding (decoders never see a
+            # 4096th entry), then restart narrow
+            emit(clear, size)
+            table = fresh()
+            next_code = end + 1
+            size = min_code + 1
+        else:
+            table[wk] = next_code
+            next_code += 1
+            # grow the code width one step AFTER next_code exceeds the
+            # current size's capacity — decoders lag the encoder's table by
+            # one entry, so this (not == 2^size) is the compatible boundary
+            # (verified bit-exact against an independent decoder)
+            if next_code == (1 << size) + 1 and size < 12:
+                size += 1
+        w = bytes([byte])
+    if w:
+        emit(table[w], size)
+    emit(end, size)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def write_gif(path: str, imgs, delay_cs: int = 8) -> None:
+    """Animated, looping GIF89a from a sequence of (H, W, 3) uint8 frames."""
+    imgs = list(imgs)
+    h, w, _ = imgs[0].shape
+    parts = [b"GIF89a", struct.pack("<HHBBB", w, h, 0xF7, 0, 0), _gif_palette()]
+    # NETSCAPE loop-forever extension
+    parts.append(b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00")
+    for img in imgs:
+        # GCE: fields byte (no disposal/transparency), delay, transparent
+        # index, terminator
+        parts.append(struct.pack("<BBBBHBB", 0x21, 0xF9, 4, 0, delay_cs, 0, 0))
+        parts.append(struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0))
+        data = _gif_lzw(_gif_quantize(img).tobytes())
+        parts.append(bytes([8]))  # LZW min code size
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            parts.append(bytes([len(block)]) + block)
+        parts.append(b"\x00")
+    parts.append(b"\x3b")
+    with open(path, "wb") as f:
+        f.write(b"".join(parts))

@@ -104,11 +104,14 @@ def run_scene(
     size: int = 512,
     data_structure: DataStructure = DataStructure.MATRIX_BUCKETS,
     device=None,
+    gif: str | None = None,
+    gif_delay_cs: int = 8,
 ) -> SceneStats:
     """Advance a scene on-device with the production Simulator; optionally
-    render each produced frame to PNG."""
+    render each produced frame to PNG and/or an animated GIF (the analog of
+    the reference's doc/*.gif demos)."""
     from particle_simulator_tpu.engine.simulator import Simulator
-    from particle_simulator_tpu.editor.render import render_frame, write_png
+    from particle_simulator_tpu.editor.render import render_frame, write_gif, write_png
 
     frame.metadata.data_structure = data_structure
     if device is not None:
@@ -129,6 +132,9 @@ def run_scene(
         os.makedirs(render_dir, exist_ok=True)
         for i, f in enumerate(outputs):
             write_png(os.path.join(render_dir, f"frame_{i:05d}.png"), render_frame(f, size, size))
+    if gif:
+        write_gif(gif, (render_frame(f, size, size) for f in outputs),
+                  delay_cs=gif_delay_cs)
 
     last = outputs[-1]
     speed = np.hypot(last.particles["vx"], last.particles["vy"])
@@ -158,6 +164,7 @@ def main(argv=None) -> int:
     ap.add_argument("scene", choices=sorted(SCENES) + ["phase_sweep"])
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--render", default=None, help="directory for PNG output")
+    ap.add_argument("--gif", default=None, help="write an animated GIF here")
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--device", type=int, default=None,
                     help="0 = accelerator (default), 1 = CPU (jnp path)")
@@ -172,7 +179,8 @@ def main(argv=None) -> int:
         return 0
 
     stats = run_scene(SCENES[args.scene](), frames=args.frames,
-                      render_dir=args.render, size=args.size, device=args.device)
+                      render_dir=args.render, size=args.size, device=args.device,
+                      gif=args.gif)
     print(stats.json())
     return 0
 

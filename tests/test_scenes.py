@@ -73,3 +73,25 @@ def test_run_scene_stats_and_render(tmp_path):
     assert stats.particles == 100
     assert stats.frames == 2
     assert (tmp_path / "frame_00001.png").exists()
+
+
+def test_scene_gif_output(tmp_path):
+    """The animated-GIF demo output (the reference's doc/*.gif analog):
+    encoder roundtrips exactly against an independent decoder."""
+    pytest.importorskip("PIL")
+    import numpy as np
+    from PIL import Image, ImageSequence
+
+    from particle_simulator_tpu.editor.render import _gif_palette, _gif_quantize
+    from particle_simulator_tpu.scenes.library import SCENES, run_scene
+
+    gif = tmp_path / "demo.gif"
+    run_scene(SCENES["liquid_droplet"](), frames=3, size=96, device=1,
+              gif=str(gif))
+    im = Image.open(gif)
+    decoded = [np.array(f.convert("RGB")) for f in ImageSequence.Iterator(im)]
+    assert len(decoded) == 3
+    assert decoded[0].shape == (96, 96, 3)
+    assert im.info.get("loop") == 0  # loops forever
+    # at least two frames differ (the scene is moving)
+    assert any(not np.array_equal(a, b) for a, b in zip(decoded, decoded[1:]))
