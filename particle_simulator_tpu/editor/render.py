@@ -261,6 +261,8 @@ def _gif_lzw(indices: bytes, min_code: int = 8) -> bytes:
 def write_gif(path: str, imgs, delay_cs: int = 8) -> None:
     """Animated, looping GIF89a from a sequence of (H, W, 3) uint8 frames."""
     imgs = list(imgs)
+    if not imgs:
+        raise ValueError("write_gif needs at least one frame")
     h, w, _ = imgs[0].shape
     parts = [b"GIF89a", struct.pack("<HHBBB", w, h, 0xF7, 0, 0), _gif_palette()]
     # NETSCAPE loop-forever extension

@@ -47,6 +47,7 @@ class Timeline:
     def __init__(self):
         self._frames: list[Frame] = []
         self._intervals: list[TimeInterval] = []
+        self._starts: list[float] = []  # interval start times, for bisect
         self._ram_bytes = 0
 
     # -- ingest (simulation.rs:63-85) -----------------------------------------
@@ -63,6 +64,7 @@ class Timeline:
             self._intervals.append(
                 TimeInterval(start_time=start, frame_dt=dt, first_frame=idx, frame_count=1)
             )
+            self._starts.append(start)
 
     # -- lookup (simulation.rs:97-147) ----------------------------------------
     def _locate(self, t: float) -> tuple[int, float] | None:
@@ -73,8 +75,7 @@ class Timeline:
         like the stats poll)."""
         if not self._frames:
             return None
-        starts = [iv.start_time for iv in self._intervals]
-        k = bisect.bisect_right(starts, t) - 1
+        k = bisect.bisect_right(self._starts, t) - 1
         if k < 0:
             k = 0
         iv = self._intervals[k]
@@ -121,4 +122,5 @@ class Timeline:
     def clear(self) -> None:
         self._frames.clear()
         self._intervals.clear()
+        self._starts.clear()
         self._ram_bytes = 0

@@ -133,11 +133,14 @@ class DistributedFrontend:
         frame = None
         if self.is_proc0:
             frame = self.inner.read()
-            if not self.inner.is_connected:
-                code = self._CLOSED
-            elif frame is not None:
+            # A frame read in the same poll that detected the disconnect is
+            # still delivered (the single-process Frontend would deliver it);
+            # CLOSED broadcasts on the FOLLOWING poll, when read() is None.
+            if frame is not None:
                 code = self._FRAME
                 payload = np.frombuffer(frame.bytes, np.uint8)
+            elif not self.inner.is_connected:
+                code = self._CLOSED
         hdr = self._bcast(np.array([code, len(payload)], np.int64))
         code, length = int(hdr[0]), int(hdr[1])
         if code == self._CLOSED:
@@ -196,8 +199,13 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
         # never stamps queued older states with the new parameters
         queue.append((state, sim.meta_record.copy()))
 
+    def can_ship() -> bool:
+        return max_frames is None or shipped < max_frames
+
     def flush() -> None:
-        while queue:
+        # honor max_frames here too: a scene reset with readback_depth > 0
+        # must not overshoot the frame budget via the queued backlog
+        while queue and can_ship():
             ship(*queue.popleft())
 
     # prime: echo the prepared first scene and dispatch its first frame
@@ -221,7 +229,8 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
                 # writes the incoming frame as-is, cuda_simulator.cu:16-20);
                 # writing after frame_async would ship the post-step state and
                 # then re-send it next iteration via prev_state.
-                ship()
+                if can_ship():
+                    ship()
                 sim.frame_async()
                 continue
 

@@ -401,8 +401,14 @@ class Simulator:
                 meta.species(0).force0_r(), box_height=meta.box_height,
             )
             dummy = jax.device_put(empty_state(cfg.grid_shape), self.accel)
-            params = SimParams.from_record(default_metadata())
-            out = _run_bucket_pallas(dummy, params, block_rows=8)
+            rec = default_metadata()
+            params = SimParams.from_record(rec)
+            # derive block_rows exactly like frame_async so the warmed jit
+            # signature tracks any future default-metadata change
+            k = int(rec["gpu_threads_per_block_log2"])
+            out = _run_bucket_pallas(
+                dummy, params, block_rows=max(1, 1 << max(0, k - 4))
+            )
             jax.block_until_ready(out)
         except Exception:  # pragma: no cover - warming must never hurt
             pass

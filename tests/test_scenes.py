@@ -75,14 +75,46 @@ def test_run_scene_stats_and_render(tmp_path):
     assert (tmp_path / "frame_00001.png").exists()
 
 
+def test_gif_encoder_roundtrips_exactly(tmp_path):
+    """Encoder vs an independent decoder (PIL), pixel-exact per frame —
+    decoded RGB must equal palette[_gif_quantize(src)]. The noise frame
+    drives the LZW table to 4096 codes (12-bit width + table clears)."""
+    pytest.importorskip("PIL")
+    from PIL import Image, ImageSequence
+
+    from particle_simulator_tpu.editor.render import (
+        _gif_palette,
+        _gif_quantize,
+        write_gif,
+    )
+
+    rng = np.random.default_rng(0)
+    ramp = (np.arange(96 * 96 * 3, dtype=np.uint32) % 256).astype(np.uint8)
+    imgs = [
+        ramp.reshape(96, 96, 3),
+        rng.integers(0, 256, (96, 96, 3), dtype=np.uint8),
+        np.zeros((96, 96, 3), np.uint8),
+    ]
+    gif = tmp_path / "exact.gif"
+    write_gif(str(gif), imgs)
+
+    pal = np.frombuffer(_gif_palette(), np.uint8).reshape(256, 3)
+    im = Image.open(gif)
+    decoded = [np.array(f.convert("RGB")) for f in ImageSequence.Iterator(im)]
+    assert len(decoded) == len(imgs)
+    for got, src in zip(decoded, imgs):
+        assert np.array_equal(got, pal[_gif_quantize(src)])
+
+
 def test_scene_gif_output(tmp_path):
     """The animated-GIF demo output (the reference's doc/*.gif analog):
-    encoder roundtrips exactly against an independent decoder."""
+    a moving scene encodes to a decodable, looping, multi-frame GIF.
+    (Pixel-exact encoder coverage lives in
+    test_gif_encoder_roundtrips_exactly.)"""
     pytest.importorskip("PIL")
     import numpy as np
     from PIL import Image, ImageSequence
 
-    from particle_simulator_tpu.editor.render import _gif_palette, _gif_quantize
     from particle_simulator_tpu.scenes.library import SCENES, run_scene
 
     gif = tmp_path / "demo.gif"
