@@ -590,6 +590,169 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
     )
 
 
+def _place_edge_kernel(
+    x_ref, y_ref, ty_ref, vx_ref, vy_ref, id_ref, halo_ref,
+    ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
+    *, ty_rows: int, cap: int,
+):
+    """_place_kernel variant for the sharded path: the rows above/below each
+    block arrive in ONE packed halo block (12 of 16 sublanes used) instead of
+    clamped +-1 block triplets — at the shard's top/bottom edge those rows are
+    the NEIGHBOR shard's edge buckets (exchange_halo output), so no row_ok
+    masking exists: out-of-box rows are tombstones with destid -1, which never
+    matches an output slot id."""
+    p_id = pl.program_id(0)
+    L = x_ref.shape[1]
+
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
+    my_id = (p_id.astype(jnp.int32) * ty_rows + row_iota) * L + lane
+
+    halo = halo_ref[:]
+    above_f = tuple(halo[i : i + 1] for i in range(6))
+    below_f = tuple(halo[i : i + 1] for i in range(6, 12))
+
+    ox_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
+    oy_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
+    ovx_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
+    ovy_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
+    oty_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
+
+    main = (
+        x_ref[:], y_ref[:],
+        jax.lax.bitcast_convert_type(ty_ref[:], jnp.uint32),
+        jax.lax.bitcast_convert_type(vx_ref[:], jnp.uint32),
+        jax.lax.bitcast_convert_type(vy_ref[:], jnp.uint32),
+        jax.lax.bitcast_convert_type(id_ref[:], jnp.uint32),
+    )
+
+    for dy in (-1, 0, 1):
+        if dy == -1:
+            fields = tuple(
+                jnp.concatenate([a, c[: ty_rows - 1]], axis=0)
+                for a, c in zip(above_f, main)
+            )
+        elif dy == 0:
+            fields = main
+        else:
+            fields = tuple(
+                jnp.concatenate([c[1:], b], axis=0)
+                for c, b in zip(main, below_f)
+            )
+        stacked = jnp.concatenate(fields, axis=0)
+        for t in range(-(2 * cap - 1), 2 * cap):
+            rolled = _roll_lanes(stacked, t)
+            jx = rolled[:ty_rows]
+            jy = rolled[ty_rows : 2 * ty_rows]
+            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
+            jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
+            jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
+            jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+
+            match = jid == my_id
+            ox_ref[:] = jnp.where(match, jx, ox_ref[:])
+            oy_ref[:] = jnp.where(match, jy, oy_ref[:])
+            ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
+            ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
+            oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bx_log2", "by_log2", "interpret")
+)
+def bucket_move_pallas_halo(
+    padded: ParticleState,
+    bx_log2: int,
+    by_log2: int,
+    row_offset,
+    col_offset,
+    interpret: bool = False,
+) -> ParticleState:
+    """Shard-local rebucketing/migration, fully on-chip: ranks from
+    physics.bucket.move_ranks_direct_halo (no sort) + the pull-place kernel
+    (no XLA scatter) — the sharded analog of bucket_move_pallas, bit-identical
+    to bucket_move_direct_halo / bucket_move_nbr over the same halo.
+
+    ``padded`` is the (ly+2, lx+2, cap) exchange_halo output. Like the
+    sharded step kernel (parallel/domain.py), the x-halo columns join the
+    lane axis and the y-halo rows ride the packed per-block halo input, so
+    the local grid keeps its row blocking. Output is the (ly, lx, cap)
+    interior."""
+    from particle_simulator_tpu.physics.bucket import move_ranks_direct_halo
+
+    py, px, cap = padded.x.shape
+    ly, lx = py - 2, px - 2
+    L = px * cap
+    ty_rows = _pick_ty_rows(ly, L)
+    n_blocks = ly // ty_rows
+
+    tgt_by, tgt_bx, rank, keep = move_ranks_direct_halo(
+        padded, bx_log2, by_log2, row_offset, col_offset
+    )
+    # destination slot id in OUTPUT coords — (ly, px, cap) with the x-halo
+    # columns still in the lane axis (target lane bucket = tgt_bx + 1); -1 =
+    # dropped/dead, never equal to a real output id
+    destid = jnp.where(
+        keep, (tgt_by * px + tgt_bx + 1) * cap + rank, -1
+    ).astype(jnp.int32)
+
+    def rows2d(a):
+        return a.reshape(py, L)
+
+    fields = (
+        rows2d(padded.x),
+        rows2d(padded.y),
+        rows2d(jax.lax.bitcast_convert_type(padded.ty, jnp.uint32)),
+        rows2d(jax.lax.bitcast_convert_type(padded.vx, jnp.uint32)),
+        rows2d(jax.lax.bitcast_convert_type(padded.vy, jnp.uint32)),
+        rows2d(jax.lax.bitcast_convert_type(destid, jnp.uint32)),
+    )
+    mains = tuple(f[1:-1] for f in fields)  # interior rows (ly, L)
+    # packed per-block halo: block i's candidate rows above (= padded row
+    # i*ty_rows) and below (= padded row (i+1)*ty_rows + 1), 6 fields each,
+    # padded to 16 sublanes (Mosaic blocks want multiples of 8)
+    above = jnp.stack([f[0:py - 2 : ty_rows] for f in fields], axis=1)
+    below = jnp.stack([f[ty_rows + 1 :: ty_rows] for f in fields], axis=1)
+    zero4 = jnp.zeros((n_blocks, 4, L), jnp.uint32)
+    halo = jnp.concatenate([above, below, zero4], axis=1).reshape(n_blocks * 16, L)
+
+    spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((16, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    kernel = functools.partial(_place_edge_kernel, ty_rows=ty_rows, cap=cap)
+    nx, ny, nvx, nvy, nty = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[spec() for _ in range(6)] + [halo_spec],
+        out_specs=[out_spec] * 5,
+        out_shape=[
+            jax.ShapeDtypeStruct((ly, L), jnp.uint32),
+            jax.ShapeDtypeStruct((ly, L), jnp.uint32),
+            jax.ShapeDtypeStruct((ly, L), jnp.float32),
+            jax.ShapeDtypeStruct((ly, L), jnp.float32),
+            jax.ShapeDtypeStruct((ly, L), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        mains[0],
+        mains[1],
+        jax.lax.bitcast_convert_type(mains[2], jnp.int32),
+        jax.lax.bitcast_convert_type(mains[3], jnp.float32),
+        jax.lax.bitcast_convert_type(mains[4], jnp.float32),
+        jax.lax.bitcast_convert_type(mains[5], jnp.int32),
+        halo,
+    )
+
+    # slice the x-halo columns back off the lane axis
+    def interior(a):
+        return a.reshape(ly, px, cap)[:, 1:-1]
+
+    return ParticleState(
+        interior(nx), interior(ny), interior(nvx), interior(nvy), interior(nty)
+    )
+
+
 def run_frame_bucket_pallas(
     state: ParticleState,
     p: SimParams,

@@ -9,7 +9,8 @@ grid by 2D spatial domain across a device mesh:
 - before every step, each chip exchanges a **one-bucket halo ring** with its
   mesh neighbors via ``lax.ppermute`` (rides ICI). This is the direct analog of
   the reference's 3x3 bucket neighborhood crossing a shard edge;
-- the pull-based rebucket pass (bucket_move_nbr) doubles as particle
+- the pull-based rebucket pass (bucket_move_direct_halo / the pallas place
+  variant) doubles as particle
   **migration**: a particle that drifts into a neighbor's domain is pulled by
   that neighbor from the exchanged halo, and dropped locally by the owner's own
   move pass. No extra migration protocol is needed because the reference's move
@@ -39,7 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from particle_simulator_tpu.engine.state import ParticleState, SimParams
 from particle_simulator_tpu.physics.bucket import (
     GridConfig,
-    bucket_move_nbr,
+    bucket_move_direct_halo,
     bucket_step_nbr,
     stack9,
 )
@@ -171,20 +172,35 @@ def _local_frame(
     lx = state.x.shape[1]
     row_offset = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * ly
     col_offset = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * lx
+    interpret = jax.default_backend() != "tpu"
 
     def nbr_of(s):
         return stack9(exchange_halo(s, ny, nx))
 
-    def move(s):
-        return bucket_move_nbr(
-            s, nbr_of(s), cfg.bx_log2, cfg.by_log2,
-            row_offset=row_offset, col_offset=col_offset,
-        )
+    # Migration/rebucket: the direct shard-aware pass (elementwise ranks, no
+    # argsort over the 9*CAP neighborhood axis — ARCHITECTURE.md section 4
+    # measured the sort-based pass at ~13x the direct one at 1M). The pallas
+    # variant also replaces the XLA scatter with the pull-place kernel, the
+    # same op profile as the single-chip bucket_move_pallas.
+    if kernel == "pallas":
+        from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas_halo
+
+        def move(s):
+            return bucket_move_pallas_halo(
+                exchange_halo(s, ny, nx), cfg.bx_log2, cfg.by_log2,
+                row_offset, col_offset, interpret=interpret,
+            )
+
+    else:
+
+        def move(s):
+            return bucket_move_direct_halo(
+                exchange_halo(s, ny, nx), cfg.bx_log2, cfg.by_log2,
+                row_offset, col_offset,
+            )
 
     if kernel == "pallas":
         from particle_simulator_tpu.ops.bucket_pallas import bucket_step_pallas
-
-        interpret = jax.default_backend() != "tpu"
 
         def step(s):
             # The x-halo columns join the row data (lanes span lx+2 buckets);

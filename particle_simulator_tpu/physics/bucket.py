@@ -337,6 +337,120 @@ def move_dest_direct(state: ParticleState):
     return dest.reshape(-1), keep.reshape(-1)
 
 
+def move_ranks_direct_halo(
+    padded: ParticleState,
+    bx_log2: int,
+    by_log2: int,
+    row_offset,
+    col_offset,
+):
+    """``move_dest_direct`` generalized to a halo-padded shard
+    (parallel/domain.py) — same bit-packed cumsum ranking, same reference
+    pull order (kernel_bucket.cuh:5-39: blocks in (dy, dx) scan order, slots
+    ascending).
+
+    ``padded`` is the (ly+2, lx+2, cap) exchange_halo output: candidates are
+    ALL padded slots (the halo ring holds the neighbors' edge buckets);
+    targets are this shard's own (ly, lx) interior buckets. A local particle
+    whose target lies off-shard is dropped here and pulled by the owner from
+    ITS halo — pull-based migration needs no send protocol.
+    ``row_offset``/``col_offset`` are the shard's global bucket offsets
+    (traced ``axis_index`` values inside shard_map).
+
+    Returns (tgt_y, tgt_x, rank, keep) over the padded grid: local target
+    bucket coords in [0, ly) x [0, lx), pull rank within the target bucket,
+    and the keep mask (live, <=1-bucket drift, on-shard target, rank < cap).
+    """
+    py, px, cap = padded.x.shape
+    ly, lx = py - 2, px - 2
+
+    # local target bucket from the GLOBAL coordinate top bits, shard-relative
+    tgt_bx = (padded.x >> jnp.uint32(32 - bx_log2)).astype(jnp.int32) - col_offset
+    tgt_by = (padded.y >> jnp.uint32(32 - by_log2)).astype(jnp.int32) - row_offset
+    # candidate's own cell in local coords: halo ring = -1 / ly (lx)
+    cur_bx = jax.lax.broadcasted_iota(jnp.int32, (py, px, cap), 1) - 1
+    cur_by = jax.lax.broadcasted_iota(jnp.int32, (py, px, cap), 0) - 1
+    dy = cur_by - tgt_by
+    dx = cur_bx - tgt_bx
+    live = padded.ty >= 0
+    tgt_in = (tgt_by >= 0) & (tgt_by < ly) & (tgt_bx >= 0) & (tgt_bx < lx)
+    pullable = live & tgt_in & (jnp.abs(dy) <= 1) & (jnp.abs(dx) <= 1)
+
+    def shift_pad(a, sy, sx):
+        """a shifted by (+sy, +sx) with zero fill: result[y, x] = a[y-sy, x-sx]."""
+        pad_y = (max(sy, 0), max(-sy, 0))
+        pad_x = (max(sx, 0), max(-sx, 0))
+        p = jnp.pad(a, (pad_y, pad_x))
+        return p[pad_y[1] : pad_y[1] + py, pad_x[1] : pad_x[1] + px]
+
+    # same bit-packed per-block slot cumsums as move_dest_direct (see there)
+    bits = int(cap).bit_length()
+    per_word = max(1, 31 // bits)
+    masks = []
+    for k in range(9):
+        dyk, dxk = k // 3 - 1, k % 3 - 1
+        masks.append((pullable & (dy == dyk) & (dx == dxk)).astype(jnp.int32))
+    cums = []
+    for w in range(0, 9, per_word):
+        packed = masks[w]
+        shift = bits
+        for k in range(w + 1, min(w + per_word, 9)):
+            packed = packed + (masks[k] << shift)
+            shift += bits
+        cums.append(jnp.cumsum(packed, axis=-1))
+    field_max = (1 << bits) - 1
+
+    # block_prefix rides the PADDED shape, indexed by target cell in padded
+    # coords; boundary (halo) targets are masked out by tgt_in so their
+    # entries are never read by kept candidates
+    rank = jnp.zeros((py, px, cap), jnp.int32)
+    block_prefix = jnp.zeros((py, px), jnp.int32)
+    for k in range(9):
+        dyk, dxk = k // 3 - 1, k % 3 - 1
+        mk_i = masks[k]
+        inc = (cums[k // per_word] >> (bits * (k % per_word))) & field_max
+        r_k = inc - mk_i  # within-source-bucket exclusive cumsum along slots
+        bs_at_c = shift_pad(block_prefix, dyk, dxk)
+        rank = rank + mk_i * (bs_at_c[..., None] + r_k)
+        cnt_k = shift_pad(inc[..., -1], -dyk, -dxk)
+        block_prefix = block_prefix + cnt_k
+
+    keep = pullable & (rank < cap)
+    return tgt_by, tgt_bx, rank, keep
+
+
+def bucket_move_direct_halo(
+    padded: ParticleState,
+    bx_log2: int,
+    by_log2: int,
+    row_offset,
+    col_offset,
+) -> ParticleState:
+    """Shard-local rebucketing/migration from a halo-padded grid via direct
+    rank computation + one local scatter — bit-identical to
+    ``bucket_move_nbr`` over the same halo, with the argsort over the 9*CAP
+    neighborhood axis (and its take_along_axis gathers) replaced by
+    elementwise ranking (reference: kernel_bucket.cuh:5-39)."""
+    py, px, cap = padded.x.shape
+    ly, lx = py - 2, px - 2
+    tgt_by, tgt_bx, rank, keep = move_ranks_direct_halo(
+        padded, bx_log2, by_log2, row_offset, col_offset
+    )
+    n = ly * lx * cap
+    dest = jnp.where(keep, (tgt_by * lx + tgt_bx) * cap + rank, n).reshape(-1)
+    flat = padded.reshape((-1,))
+    out = empty_state((n,))
+    mode = "drop"
+    out = ParticleState(
+        x=out.x.at[dest].set(flat.x, mode=mode),
+        y=out.y.at[dest].set(flat.y, mode=mode),
+        vx=out.vx.at[dest].set(flat.vx, mode=mode),
+        vy=out.vy.at[dest].set(flat.vy, mode=mode),
+        ty=out.ty.at[dest].set(flat.ty, mode=mode),
+    )
+    return out.reshape((ly, lx, cap))
+
+
 def bucket_move_direct(state: ParticleState) -> ParticleState:
     """Rebucketing via direct destination computation + one scatter —
     bit-identical to bucket_move; avoids the global sort entirely."""

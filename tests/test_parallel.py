@@ -179,6 +179,81 @@ def test_sharded_pallas_kernel_matches_single_device():
     np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-3, atol=0.05)
 
 
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+@pytest.mark.parametrize("impl", ["direct", "pallas"])
+def test_sharded_move_pass_bit_identical(n_devices, impl):
+    """One isolated migration pass: the shard-aware direct move (and its
+    pallas place variant) over a mesh must be BIT-identical to the
+    single-device bucket_move — including cross-shard migration, overflow
+    drops, and the reference's pull scan order (kernel_bucket.cuh:5-39).
+    Drifted positions are synthesized so many particles target a different
+    bucket (some across shard boundaries) and buckets overflow."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from particle_simulator_tpu.engine.state import ParticleState
+    from particle_simulator_tpu.parallel.domain import AXIS_X, AXIS_Y, exchange_halo
+    from particle_simulator_tpu.physics.bucket import (
+        bucket_move,
+        bucket_move_direct_halo,
+    )
+
+    cfg = GridConfig(4, 4, 4)
+    rng = np.random.default_rng(11)
+    by, bx, cap = cfg.grid_shape
+    # positions anywhere in the box, then assigned to RANDOM source cells --
+    # so targets drift up to the whole grid (>1-bucket drifters must drop),
+    # with dense clumps that overflow the 4-slot buckets
+    n = cfg.capacity
+    x = rng.integers(0, 2**32, n, dtype=np.uint32)
+    y = rng.integers(0, 2**32, n, dtype=np.uint32)
+    # bias half the particles toward their own cell +-1 so plenty survive
+    cell = np.arange(n) // cap
+    cbx, cby = cell % bx, cell // bx
+    half = n // 2
+    x[:half] = ((cbx[:half] + rng.integers(-1, 2, half)) % bx).astype(np.uint32) << 28 | rng.integers(0, 1 << 28, half, dtype=np.uint32)
+    y[:half] = ((cby[:half] + rng.integers(-1, 2, half)) % by).astype(np.uint32) << 28 | rng.integers(0, 1 << 28, half, dtype=np.uint32)
+    ty = np.where(rng.random(n) < 0.8, 0, -1).astype(np.int32)
+    state = ParticleState(
+        x=jnp.asarray(x).reshape(by, bx, cap),
+        y=jnp.asarray(y).reshape(by, bx, cap),
+        vx=jnp.asarray(rng.normal(size=n).astype(np.float32)).reshape(by, bx, cap),
+        vy=jnp.asarray(rng.normal(size=n).astype(np.float32)).reshape(by, bx, cap),
+        ty=jnp.asarray(ty).reshape(by, bx, cap),
+    )
+
+    ref = jax.tree.map(np.asarray, bucket_move(state))
+
+    mesh = make_mesh(n_devices=n_devices)
+    ny, nx = mesh.devices.shape
+
+    def body(s):
+        ly, lx = s.x.shape[0], s.x.shape[1]
+        row_offset = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * ly
+        col_offset = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * lx
+        padded = exchange_halo(s, ny, nx)
+        if impl == "pallas":
+            from particle_simulator_tpu.ops.bucket_pallas import (
+                bucket_move_pallas_halo,
+            )
+
+            return bucket_move_pallas_halo(
+                padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset,
+                interpret=True,
+            )
+        return bucket_move_direct_halo(
+            padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset
+        )
+
+    spec = ParticleState(*([P(AXIS_Y, AXIS_X, None)] * 5))
+    fn = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=False)
+    got = jax.tree.map(np.asarray, fn(shard_state(state, mesh)))
+
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=f"field {name} ({impl})")
+
+
 def test_multihost_helpers_single_process():
     """API-level check: no coordinator env -> no-op init, global mesh covers
     all local devices, this process owns the editor connection."""
