@@ -103,6 +103,10 @@ def main(argv=None) -> int:
 
     import jax
 
+    from particle_simulator_tpu.utils.compile_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # warm re-runs skip the 45-90 s Mosaic compile
+
     from particle_simulator_tpu.physics.bucket import GridConfig, run_frame_bucket
     from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
 

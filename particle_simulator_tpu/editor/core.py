@@ -58,10 +58,15 @@ class Editor:
         # cursor interaction (editor.rs:392-431)
         self.cursor_down = False
 
+        # "clear and send next" (editor.rs:126,1085): the next scene send
+        # (lattice or preset) first clears the timeline, then unsets itself
+        self.next_send_and_clear = False
+
         # stats surface (editor.rs:1228-1289)
         self.frames_received = 0
         self.last_scene: Optional[Frame] = None
         self._edit_frame: Optional[Frame] = None
+        self._edit_preset_index: Optional[int] = None
 
     # -- interactive mode (editor.rs:223-229) ---------------------------------
     def at_live_edge(self, slack: float = 1e-18) -> bool:
@@ -131,6 +136,14 @@ class Editor:
     def toggle_play(self) -> None:
         self.auto_play = not self.auto_play
 
+    def toggle_loop(self) -> None:
+        """The playback panel's loop button (editor.rs:1610-1744,
+        icons/media-playlist-repeat.png): while looping, playback wraps to
+        the timeline start instead of riding the live edge — and interactive
+        mode disengages (is_interactive requires not loop, editor.rs:223-229),
+        so live param edits stop flowing to the engine."""
+        self.loop = not self.loop
+
     def seek(self, t: float) -> None:
         self.play_time = max(0.0, min(t, self.timeline.sim_len()))
 
@@ -181,8 +194,18 @@ class Editor:
             lat.hex_square(frame, center, rng=rng)
         else:
             lat.square(frame, center, rng=rng)
+        self._consume_send_and_clear()
         self.send_scene(frame)
         return frame
+
+    def _consume_send_and_clear(self) -> None:
+        """Apply the one-shot "clear and send next" flag before a scene send
+        (editor.rs:937-939,975-977): wipe the timeline so the new scene
+        starts a fresh history."""
+        if self.next_send_and_clear:
+            self.timeline.clear()
+            self.play_time = 0.0
+            self.next_send_and_clear = False
 
     def clear_scene(self) -> None:
         """The C shortcut. A frame with particle_count == 0 would be a
@@ -227,19 +250,63 @@ class Editor:
             self.send_scene(self._edit_frame)
         self.editing = False
         self._edit_frame = None
+        self._edit_preset_index = None
 
     def cancel_editing(self) -> None:
         self.editing = False
         self._edit_frame = None
+        self._edit_preset_index = None
 
     # -- presets (editor.rs:961-1083) ----------------------------------------------
     def save_preset(self, name: str) -> None:
-        frame = self.current_frame()
+        """Snapshot the visible frame as a new preset — while editing, that is
+        the edit frame (the reference's "Save Frame" with edit_preset == -1,
+        editor.rs:1060-1066), otherwise the timeline frame at the playhead."""
+        frame = self._edit_frame if self.editing else self.current_frame()
         if frame is not None:
-            self.presets.add(Preset.from_frame(name, frame))
+            self.presets.add(Preset.from_frame(name, frame.copy()))
 
     def send_preset(self, i: int) -> None:
+        self._consume_send_and_clear()
         self.send_scene(self.presets[i].to_frame())
+
+    def duplicate_preset(self, i: int) -> None:
+        """The preset list's duplicate button (editor.rs:996-1001): a deep
+        copy named "Copy of <name>", appended to the list."""
+        p = self.presets[i]
+        self.presets.add(Preset(
+            name=f"Copy of {p.name}",
+            box_size=p.box_size,
+            species=p.species.copy(),
+            particles=p.particles.copy(),
+        ))
+
+    def rename_preset(self, i: int, name: str) -> None:
+        self.presets[i].name = name
+
+    def edit_preset(self, i: int) -> Frame:
+        """The preset list's edit button: open the preset's scene in editing
+        mode (tools apply to it); ``update_preset`` writes it back to the
+        same slot, ``resend_current`` ships it, ``cancel_editing`` discards."""
+        self.editing = True
+        self._edit_frame = self.presets[i].to_frame()
+        self._edit_preset_index = i
+        return self._edit_frame
+
+    def update_preset(self, name: str | None = None) -> None:
+        """The edit panel's "Save Frame" for a preset edit (editor.rs:
+        1053-1081): write the in-progress edit back to the slot it came from
+        and leave editing mode. No-op unless editing began via edit_preset
+        (a plain begin_editing edit saves via save_preset / resend_current)."""
+        i = self._edit_preset_index
+        if i is None or not self.editing or self._edit_frame is None:
+            return
+        if i < len(self.presets):
+            new_name = name if name is not None else self.presets[i].name
+            self.presets.replace(Preset.from_frame(new_name, self._edit_frame), i)
+        self.editing = False
+        self._edit_frame = None
+        self._edit_preset_index = None
 
     # -- stats (editor.rs:1228-1289) -------------------------------------------------
     def stats(self) -> dict:

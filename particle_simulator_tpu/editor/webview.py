@@ -85,6 +85,7 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
   <h3>particle simulator (TPU)</h3>
   <div>
     <button id="b_play" onclick="ctl('toggle_play')">play/pause</button>
+    <button id="b_loop" onclick="ctl('toggle_loop')">loop</button>
     <button onclick="ctl('seek_live')">live</button>
     <button onclick="ctl('lattice')">lattice</button>
     <button onclick="ctl('clear')">clear</button>
@@ -113,13 +114,17 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
   <label>species <select id="tty"><option value="0" selected>0</option><option value="1">1</option></select></label>
   <div>
     <button onclick="ctl('edit_resend'); setTool('cursor')">edit &amp; resend</button>
+    <button onclick="ctl('edit_begin_empty'); setTool('brush')">new empty</button>
     <button onclick="ctl('edit_cancel'); setTool('cursor')">cancel edit</button>
   </div>
+  <label><input type="checkbox" id="sendclear" onchange="ctl('toggle_send_clear')"> clear and send next</label>
 
   <h4>presets</h4>
   <div>
     <input type="text" id="pname" placeholder="name">
     <button onclick="presetSave()">save current</button>
+    <button onclick="ctl('preset_update', {name: document.getElementById('pname').value}).then(presetRefresh)"
+      title="write the in-progress edit back to the preset it came from">save edits</button>
   </div>
   <div id="presets"></div>
 
@@ -276,6 +281,8 @@ async function presetRefresh() {
   document.getElementById('presets').innerHTML = list.map((p, i) =>
     `<div class="preset">${escHtml(p.name)} (${p.count})
      <button onclick="ctl('preset_send',{index:${i}})">send</button>
+     <button onclick="ctl('preset_edit',{index:${i}})" title="open in editing mode">edit</button>
+     <button onclick="ctl('preset_duplicate',{index:${i}}).then(presetRefresh)">dup</button>
      <button onclick="ctl('preset_delete',{index:${i}}).then(presetRefresh)">x</button></div>`
   ).join('');
 }
@@ -518,6 +525,8 @@ setInterval(async () => {
     ghost = s.engine_cursor || null;
     if (s.cell_frac) cellFrac = s.cell_frac;
     document.getElementById('b_play').classList.toggle('on', !!s.interactive);
+    document.getElementById('b_loop').classList.toggle('on', !!s.loop);
+    document.getElementById('sendclear').checked = !!s.send_clear;
     document.getElementById('stats').textContent = statsText(s);
   } catch (e) {}
 }, 500);
@@ -529,10 +538,17 @@ class WebEditor:
 
     # Loopback by default: the engine-facing port accepts raw, unauthenticated
     # scene frames — binding all interfaces must be an explicit opt-in (--addr).
-    def __init__(self, backend_addr=("127.0.0.1", 53123), size: int = 512):
+    def __init__(self, backend_addr=("127.0.0.1", 53123), size: int = 512,
+                 presets_dir: str | None = None):
         self.editor = Editor(Backend(addr=backend_addr))
         self.size = size
+        self.presets_dir = presets_dir
+        if presets_dir:
+            from particle_simulator_tpu.io.presets import Presets
+
+            self.editor.presets = Presets.load_dir(presets_dir)
         self._bin_cache = None  # (frame, count, vmax, body bytes)
+        self._vmax_scale = None  # smoothed velocity quantization scale
         self.lock = threading.Lock()
         self._stop = False
         self._rng = np.random.default_rng()
@@ -612,13 +628,25 @@ class WebEditor:
             if not live.all():
                 parts = parts[live]
             n = len(parts)
-            vmax = 1.0
+            raw_vmax = 1.0
             if n:
-                vmax = max(
+                raw_vmax = max(
                     1.0,
                     float(np.abs(parts["vx"]).max(initial=0.0)),
                     float(np.abs(parts["vy"]).max(initial=0.0)),
                 )
+            # Hysteresis on the quantization scale: a per-frame max makes the
+            # scale (and the browser's extrapolated positions) breathe frame
+            # to frame. Grow immediately to avoid clipping; shrink only
+            # gradually once the peak is well below the scale.
+            prev = self._vmax_scale
+            if prev is None or raw_vmax > prev:
+                vmax = raw_vmax
+            elif raw_vmax < 0.5 * prev:
+                vmax = max(raw_vmax, prev * 0.75)
+            else:
+                vmax = prev
+            self._vmax_scale = vmax
             body = np.empty(n, dtype=[("x", "<u2"), ("y", "<u2"), ("vx", "<i2"), ("vy", "<i2")])
             body["x"] = (parts["x"] >> np.uint32(16)).astype(np.uint16)
             body["y"] = (parts["y"] >> np.uint32(16)).astype(np.uint16)
@@ -635,12 +663,23 @@ class WebEditor:
         return header + body_bytes
 
     # -- controls -----------------------------------------------------------------
+    def _persist_presets(self) -> None:
+        """Presets survive restarts when --presets-dir is set: each preset is
+        a wire-format .frame file (io/presets.py save_dir/load_dir)."""
+        if self.presets_dir:
+            try:
+                self.editor.presets.save_dir(self.presets_dir)
+            except OSError:
+                pass
+
     def control(self, req: dict) -> None:
         e = self.editor
         action = req.get("action")
         with self.lock:
             if action == "toggle_play":
                 e.toggle_play()
+            elif action == "toggle_loop":
+                e.toggle_loop()
             elif action == "seek_live":
                 e.seek_live()
             elif action == "lattice":
@@ -661,12 +700,22 @@ class WebEditor:
                 e.seek_frames(int(req.get("delta", 1)))
             elif action == "edit_begin":
                 e.begin_editing()
+            elif action == "edit_begin_empty":
+                # "New preset from: empty frame" (editor.rs:1014-1030)
+                from particle_simulator_tpu.io.frame import Frame as _F
+
+                e.editing = True
+                e._edit_frame = _F.from_metadata(e.sim_params.copy())
+                e._edit_preset_index = None
+            elif action == "toggle_send_clear":
+                e.next_send_and_clear = not e.next_send_and_clear
             elif action == "edit_resend":
                 e.resend_current()
             elif action == "edit_cancel":
                 e.cancel_editing()
             elif action == "preset_save":
                 e.save_preset(str(req.get("name", "preset")))
+                self._persist_presets()
             elif action == "preset_send":
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets):
@@ -675,6 +724,25 @@ class WebEditor:
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets):
                     e.presets.delete(i)
+                    self._persist_presets()
+            elif action == "preset_duplicate":
+                i = int(req.get("index", -1))
+                if 0 <= i < len(e.presets):
+                    e.duplicate_preset(i)
+                    self._persist_presets()
+            elif action == "preset_edit":
+                i = int(req.get("index", -1))
+                if 0 <= i < len(e.presets):
+                    e.edit_preset(i)
+            elif action == "preset_update":
+                name = req.get("name")
+                e.update_preset(None if not name else str(name))
+                self._persist_presets()
+            elif action == "preset_rename":
+                i = int(req.get("index", -1))
+                if 0 <= i < len(e.presets) and req.get("name"):
+                    e.rename_preset(i, str(req["name"]))
+                    self._persist_presets()
 
     def tool(self, req: dict) -> dict:
         """Apply a drawing-tool stroke (editor.rs:1443-1607 toolbar semantics).
@@ -752,6 +820,8 @@ class WebEditor:
         with self.lock:
             st = self.editor.stats()
             st["editing"] = self.editor.editing
+            st["loop"] = self.editor.loop
+            st["send_clear"] = self.editor.next_send_and_clear
             st["presets"] = len(self.editor.presets)
             # ghost of the engine's active cursor (editor.rs:423-431): the
             # engine echoes cursor_pos in every outbound frame's metadata
@@ -848,11 +918,15 @@ def main(argv=None) -> int:
         help="engine TCP listen address (pass 0.0.0.0:PORT to accept remote engines)",
     )
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--presets-dir", default=None,
+                    help="persist presets as .frame files in this directory "
+                         "(loaded at startup, saved on every change)")
     args = ap.parse_args(argv)
 
     h, p = args.http.rsplit(":", 1)
     eh, ep = args.addr.rsplit(":", 1)
-    web = WebEditor(backend_addr=(eh, int(ep)), size=args.size)
+    web = WebEditor(backend_addr=(eh, int(ep)), size=args.size,
+                    presets_dir=args.presets_dir)
     server = make_server((h, int(p)), web)
     print(f"editor UI: http://{h}:{p}  (engine port {ep})", file=sys.stderr)
     try:

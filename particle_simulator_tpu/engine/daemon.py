@@ -361,7 +361,18 @@ def main(argv=None) -> int:
     ap.add_argument("--native-io", action="store_true",
                     help="use the C++ particle_io transport (native/) instead "
                          "of the Python codec for the editor connection")
+    ap.add_argument("--compile-cache", default=None, metavar="DIR",
+                    help="persistent JAX compilation cache dir (default: "
+                         "$PS_TPU_COMPILE_CACHE or ~/.cache/"
+                         "particle_simulator_tpu/jax_cache; '' disables) — "
+                         "warm restarts skip the multi-minute Mosaic compiles")
     args = ap.parse_args(argv)
+
+    from particle_simulator_tpu.utils.compile_cache import enable_compilation_cache
+
+    cache_dir = enable_compilation_cache(args.compile_cache)
+    if cache_dir:
+        print(f"engine: compilation cache at {cache_dir}", file=sys.stderr)
 
     if args.files:
         frontend = Frontend.open_files(f"{args.files}/backend_in.bin", f"{args.files}/backend_out.bin")

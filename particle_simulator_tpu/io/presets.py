@@ -160,6 +160,9 @@ class Presets:
     def add(self, preset: Preset) -> None:
         self._presets.append(preset)
 
+    def insert(self, i: int, preset: Preset) -> None:
+        self._presets.insert(i, preset)
+
     def delete(self, i: int) -> None:
         del self._presets[i]
 

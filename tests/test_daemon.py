@@ -7,6 +7,7 @@ Regression anchor: the daemon ships frame k's state while frame k+1 computes
 from it, so the frame runner must NOT donate its input buffers.
 """
 
+import os
 import threading
 import time
 
@@ -497,3 +498,41 @@ def test_readback_pipeline_depths_ship_identical_streams():
         streams[depth] = [f.bytes for f in frames[:6]]
 
     assert streams[0] == streams[2], "pipelining changed the shipped stream"
+
+
+def test_compilation_cache_persists_executables(tmp_path):
+    """VERDICT r2 item 6: the persistent jax compilation cache writes
+    serialized executables so daemon restarts skip recompiles. Uses a
+    subprocess so the cache config doesn't leak into other tests."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    cache = tmp_path / "jax_cache"
+    prog = (
+        "from particle_simulator_tpu.utils.compile_cache import "
+        "enable_compilation_cache\n"
+        f"assert enable_compilation_cache({str(cache)!r})\n"
+        "import jax, jax.numpy as jnp\n"
+        "import numpy as np\n"
+        "f = jax.jit(lambda x: jnp.sin(x) * 2.0 + jnp.cumsum(x))\n"
+        "np.asarray(f(jnp.arange(128, dtype=jnp.float32)))\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    # min_compile_time gate is 0.5 s; force caching of this tiny program
+    env["JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS"] = "0"
+    subprocess.run(
+        [sys.executable, "-c", prog],
+        env=env, cwd=str(Path(__file__).parent.parent), check=True,
+        timeout=300,  # a cold jax import can take minutes under CI load
+    )
+    entries = list(cache.iterdir())
+    assert entries, "no cache entries written"
+
+    # disabled via empty string: no config touched
+    from particle_simulator_tpu.utils.compile_cache import (
+        enable_compilation_cache,
+    )
+
+    assert enable_compilation_cache("") is None

@@ -306,3 +306,123 @@ def test_page_script_is_structurally_sane():
 
     for el_id in set(re.findall(r"getElementById\('([^']+)'\)", js)):
         assert f'id="{el_id}"' in _PAGE, f"script references missing element #{el_id}"
+
+
+def test_loop_playback_through_http(ui):
+    """VERDICT r2 item 7: the loop toggle drives Editor.loop; looping
+    playback wraps to the timeline start and disengages interactive mode."""
+    import time
+
+    web, base = ui
+    post(base, "/control", {"action": "lattice", "nx": 4, "ny": 4})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        if json.loads(get(base, "/stats"))["frame_count"] >= 1:
+            break
+        time.sleep(0.05)
+
+    assert not json.loads(get(base, "/stats"))["loop"]
+    post(base, "/control", {"action": "toggle_loop"})
+    stats = json.loads(get(base, "/stats"))
+    assert stats["loop"]
+    assert not stats["interactive"]  # is_interactive requires not loop
+
+    # looping playback wraps: push the playhead past the end and tick
+    with web.lock:
+        web.editor.play_time = web.editor.timeline.sim_len() + 1.0
+        web.editor.play_speed = 1.0
+        web.editor.tick(0.01)
+        assert web.editor.play_time == 0.0
+
+    post(base, "/control", {"action": "toggle_loop"})
+    assert not json.loads(get(base, "/stats"))["loop"]
+
+
+def test_preset_edit_duplicate_update_through_http(ui):
+    """VERDICT r2 item 7: preset duplicate and edit/save-back (the reference's
+    edit-entry/edit-duplicate buttons, editor.rs:975-1001,1053-1081)."""
+    import time
+
+    web, base = ui
+    post(base, "/control", {"action": "lattice", "nx": 6, "ny": 6})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        if json.loads(get(base, "/stats"))["frame_count"] >= 1:
+            break
+        time.sleep(0.05)
+
+    post(base, "/control", {"action": "preset_save", "name": "orig"})
+    post(base, "/control", {"action": "preset_duplicate", "index": 0})
+    lst = json.loads(get(base, "/presets"))
+    assert [p["name"] for p in lst] == ["orig", "Copy of orig"]
+    assert lst[0]["count"] == lst[1]["count"] == 36
+
+    # edit the copy: erase everything, save back to the same slot
+    post(base, "/control", {"action": "preset_edit", "index": 1})
+    assert json.loads(get(base, "/stats"))["editing"]
+    post(base, "/tool", {"tool": "clear", "points": [[0.5, 0.5]],
+                         "width_cells": 60, "height_cells": 60})
+    post(base, "/control", {"action": "preset_update", "name": "emptied"})
+    assert not json.loads(get(base, "/stats"))["editing"]
+    lst = json.loads(get(base, "/presets"))
+    assert [p["name"] for p in lst] == ["orig", "emptied"]
+    assert lst[0]["count"] == 36  # original untouched
+    assert lst[1]["count"] == 0
+
+    post(base, "/control", {"action": "preset_rename", "index": 0, "name": "renamed"})
+    assert json.loads(get(base, "/presets"))[0]["name"] == "renamed"
+
+
+def test_preset_persistence_across_restart(tmp_path):
+    """VERDICT r2 item 7: presets persist via Presets.save_dir/load_dir when
+    --presets-dir is set — a second WebEditor sees the first one's presets."""
+    import time
+
+    from particle_simulator_tpu.editor.webview import WebEditor
+
+    d = str(tmp_path / "presets")
+    web = WebEditor(backend_addr=("127.0.0.1", 0), size=64, presets_dir=d)
+    try:
+        with web.lock:
+            web.editor.send_lattice(5, 5)
+        deadline = time.monotonic() + 10
+        while time.monotonic() < deadline:
+            with web.lock:
+                if web.editor.timeline.frame_count >= 1:
+                    break
+            time.sleep(0.05)
+        web.control({"action": "preset_save", "name": "kept"})
+        web.control({"action": "preset_save", "name": "dropped"})
+        web.control({"action": "preset_delete", "index": 1})
+    finally:
+        web.close()
+
+    web2 = WebEditor(backend_addr=("127.0.0.1", 0), size=64, presets_dir=d)
+    try:
+        assert [p.name for p in web2.editor.presets] == ["kept"]
+        assert len(web2.editor.presets[0].particles) == 25
+    finally:
+        web2.close()
+
+
+def test_clear_and_send_next_wipes_timeline(ui):
+    """editor.rs:937-939: with "clear and send next" armed, the next scene
+    send clears the timeline first, then the flag disarms."""
+    import time
+
+    web, base = ui
+    post(base, "/control", {"action": "lattice", "nx": 4, "ny": 4})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        if json.loads(get(base, "/stats"))["frame_count"] >= 1:
+            break
+        time.sleep(0.05)
+    before = json.loads(get(base, "/stats"))["frame_count"]
+    assert before >= 1
+
+    post(base, "/control", {"action": "toggle_send_clear"})
+    assert json.loads(get(base, "/stats"))["send_clear"]
+    post(base, "/control", {"action": "lattice", "nx": 3, "ny": 3})
+    stats = json.loads(get(base, "/stats"))
+    assert not stats["send_clear"]  # one-shot
+    assert stats["frame_count"] <= 1  # wiped (the new scene may have echoed)
