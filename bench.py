@@ -99,6 +99,11 @@ def main(argv=None) -> int:
     ap.add_argument("--frames", type=int, default=10, help="timed frame dispatches")
     ap.add_argument("--steps", type=int, default=100, help="physics steps per frame")
     ap.add_argument("--fill", type=int, default=8, help="particles per bucket")
+    ap.add_argument("--sharded", action="store_true",
+                    help="run the multi-chip program (shard_map + halo "
+                         "exchange + edge-rows kernel) over a mesh of the "
+                         "available devices — on one chip this measures the "
+                         "shard overhead vs the single-chip runner")
     args = ap.parse_args(argv)
 
     import jax
@@ -131,11 +136,24 @@ def main(argv=None) -> int:
 
     # Pallas kernel on the accelerator; jnp path on CPU (where Mosaic can't run)
     on_tpu = jax.devices()[0].platform != "cpu"
-    runner = run_frame_bucket_pallas if on_tpu else run_frame_bucket
-    frame_fn = jax.jit(
-        lambda s, p: runner(s, p, move_every=cfg.move_every),
-        donate_argnums=(0,),
-    )
+    if args.sharded:
+        from particle_simulator_tpu.parallel.domain import (
+            grid_sharding,
+            make_mesh,
+            make_sharded_frame_fn,
+        )
+
+        mesh = make_mesh()
+        frame_fn = make_sharded_frame_fn(
+            cfg, mesh, donate=True, kernel="pallas" if on_tpu else "jnp"
+        )
+        state = jax.device_put(state, grid_sharding(mesh))
+    else:
+        runner = run_frame_bucket_pallas if on_tpu else run_frame_bucket
+        frame_fn = jax.jit(
+            lambda s, p: runner(s, p, move_every=cfg.move_every),
+            donate_argnums=(0,),
+        )
 
     def barrier(s):
         # block_until_ready is not a reliable sync on the remote-tunnel
@@ -172,6 +190,11 @@ def main(argv=None) -> int:
                 # per-step compute is slot-based and unaffected by drops
                 "live_fraction_end": round(live_end / n, 4),
                 "device": str(jax.devices()[0].platform),
+                **(
+                    {"sharded_mesh": list(mesh.devices.shape)}
+                    if args.sharded
+                    else {}
+                ),
             }
         )
     )

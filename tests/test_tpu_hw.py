@@ -113,6 +113,51 @@ def test_compiled_frame_runner_envelope_on_hardware():
     np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-2, atol=0.5)
 
 
+def test_sharded_frame_compiled_on_hardware():
+    """VERDICT r2 item 2: the sharded program — shard_map + two-phase ppermute
+    halo exchange + the edge-rows Pallas step kernel + the shard-aware direct
+    move (parallel/domain.py:155-235) — Mosaic-compiled and EXECUTED on the
+    real chip via a 1x1 mesh (ppermute degenerates to boundary zero-fill,
+    which decodes to tombstone halos). Every CPU-CI sharded test runs the
+    kernels in interpret mode only; this is the one place the exact sharded
+    program goes through Mosaic. Asserts agreement with the single-chip
+    Pallas frame runner on the same scene, same envelopes as
+    test_compiled_frame_runner_envelope_on_hardware."""
+    from jax.sharding import Mesh
+
+    from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
+    from particle_simulator_tpu.parallel.domain import (
+        grid_sharding,
+        make_sharded_frame_fn,
+    )
+
+    cfg = GridConfig(4, 4, 8, move_every=4)
+    state, p = scene(cfg, nx=14, ny=14)
+    p = p._replace(steps_per_frame=np.int32(10))
+
+    ref = jax.tree.map(
+        np.asarray,
+        jax.jit(lambda s, q: run_frame_bucket_pallas(s, q, move_every=cfg.move_every))(
+            jax.device_put(state, tpu), p
+        ),
+    )
+
+    mesh = Mesh(np.array([tpu]).reshape(1, 1), ("dy", "dx"))
+    fn = make_sharded_frame_fn(cfg, mesh, donate=False, kernel="pallas")
+    got = jax.tree.map(
+        np.asarray, fn(jax.device_put(state, grid_sharding(mesh)), p)
+    )
+
+    # bucket layout must agree exactly; the step kernel accumulates over
+    # lx+2 halo lanes (vs lx single-chip), so forces see a different f32
+    # reduction tree — same compounding envelope as the frame-runner test
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=1024)
+    np.testing.assert_allclose(ref.y.astype(np.int64), got.y.astype(np.int64), rtol=0, atol=1024)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-2, atol=0.5)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-2, atol=0.5)
+
+
 def test_leapfrog_10k_steps_energy_stable_on_hardware():
     """The BASELINE fidelity criterion on the real chip: 10k leapfrog steps
     through the compiled bucket kernel with bounded energy (the reference's
