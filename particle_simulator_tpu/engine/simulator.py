@@ -202,6 +202,11 @@ class Simulator:
             return self.accel, Device.GPU
         # capability fallback: GPU requested but no accelerator (kernel.cuh:203-205)
         fallback = Device.CPU_THREAD_POOL if requested == Device.GPU else requested
+        # CpuMainThread never touches an XLA client: the shared kernels run
+        # eagerly via NumPy on the caller's thread (physics/host.py), so the
+        # state stays host-resident — None device means "no device_put"
+        if fallback == Device.CPU_MAIN_THREAD:
+            return None, fallback
         return self.cpu, fallback
 
     def load_frame(self, frame: Frame) -> None:
@@ -243,7 +248,12 @@ class Simulator:
             layout[: len(live)] = live
             self.grid = self.base_grid
             state = state_from_numpy(layout, capacity)
-            self.state = jax.device_put(state, jdev)
+            if jdev is None:  # CpuMainThread: host-resident NumPy state
+                from particle_simulator_tpu.physics.host import to_host_state
+
+                self.state = to_host_state(state)
+            else:
+                self.state = jax.device_put(state, jdev)
         else:
             self.grid = _grid_for(
                 live, self.base_grid, meta.box_width,
@@ -268,6 +278,10 @@ class Simulator:
 
                 state, _ = pad_rows_for_mesh(state, self.mesh)
                 self.state = shard_state(state, self.mesh)
+            elif jdev is None:  # CpuMainThread: host-resident NumPy state
+                from particle_simulator_tpu.physics.host import to_host_state
+
+                self.state = to_host_state(state)
             else:
                 self.state = jax.device_put(state, jdev)
         self.state_is_dispatched = False  # fresh host upload, not a jit output
@@ -337,6 +351,21 @@ class Simulator:
         """Dispatch one frame (steps_per_frame physics steps) on device and
         return immediately (JAX async dispatch = the reference's run_async)."""
         if self.state is None:
+            return
+        if self.active_device == Device.CPU_MAIN_THREAD and self.mesh is None:
+            # genuinely single-threaded: the shared kernels execute eagerly
+            # via NumPy on THIS thread (physics/host.py) — the analog of the
+            # reference's sequential for-loop (kernel_bucket.cuh:133-141).
+            # Synchronous by nature, like the reference's main-thread path.
+            from particle_simulator_tpu.physics import host
+
+            if self.data_structure == DataStructure.COMPACT_ARRAY:
+                self.state = host.host_run_frame_compact(self.state, self.params)
+            else:
+                self.state = host.host_run_frame_bucket(
+                    self.state, self.params, move_every=self.grid.move_every
+                )
+            self.state_is_dispatched = False  # nothing to async-copy
             return
         if self.data_structure == DataStructure.COMPACT_ARRAY:
             if self.active_device == Device.GPU:
