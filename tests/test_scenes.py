@@ -127,3 +127,34 @@ def test_scene_gif_output(tmp_path):
     assert im.info.get("loop") == 0  # loops forever
     # at least two frames differ (the scene is moving)
     assert any(not np.array_equal(a, b) for a, b in zip(decoded, decoded[1:]))
+
+
+def test_order_parameters_classify_lattice_vs_gas():
+    """scenes/order.py calibration: a perfect hex lattice scores as hexatic
+    (psi6 ~ 1, ~6 first-shell neighbors, clustered) and a uniform random
+    sparse gas as unbound (neighbors << 1, box-filling occupancy) — the same
+    measures scripts/phase_sweep_chip.py asserts on chip (the reference's
+    states-of-matter demo, doc/project.typ:169-191, made quantitative)."""
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE, default_metadata
+    from particle_simulator_tpu.scenes.library import _scene
+    from particle_simulator_tpu.scenes.order import order_parameters
+
+    lattice = _scene(48, 48, distance_factor=1.05, speed=0.0, box_fill=0.5)
+    op = order_parameters(lattice.particles, lattice.metadata.copy())
+    assert op.n == 48 * 48
+    assert op.psi6 > 0.95, op
+    assert 5.0 <= op.mean_neighbors <= 7.0, op  # boundary rows pull < 6
+    assert op.occupied_fraction < 0.4, op  # clustered in half the box
+
+    rng = np.random.default_rng(7)
+    gas = np.zeros(2048, dtype=PARTICLE_DTYPE)
+    gas["x"] = rng.integers(0, 1 << 32, size=2048, dtype=np.uint64)
+    gas["y"] = rng.integers(0, 1 << 32, size=2048, dtype=np.uint64)
+    meta = default_metadata()
+    gop = order_parameters(gas, meta)
+    assert gop.mean_neighbors < 1.5, gop  # Poisson mean at this density ~0.8
+    assert gop.occupied_fraction > 0.35, gop  # 2048 darts over 4096 cells
+    assert gop.psi6 < 0.7, gop
+
+    empty = order_parameters(np.zeros(0, dtype=PARTICLE_DTYPE), meta)
+    assert empty.n == 0 and empty.psi6 == 0.0
