@@ -104,9 +104,24 @@ def main(argv=None) -> int:
                          "exchange + edge-rows kernel) over a mesh of the "
                          "available devices — on one chip this measures the "
                          "shard overhead vs the single-chip runner")
+    ap.add_argument("--per-frame", action="store_true",
+                    help="barrier every frame (1-element readback) and report "
+                         "the per-frame time distribution — run-to-run "
+                         "variance / throttling diagnosis. Adds one tunnel "
+                         "RTT per frame, so the aggregate rate reads low; "
+                         "the distribution shape is the point")
     args = ap.parse_args(argv)
 
+    import os
+
     import jax
+
+    value = os.environ.get("JAX_PLATFORMS")
+    if value and all(p in ("cpu", "tpu", "gpu", "cuda") for p in value.split(",")):
+        # the TPU tunnel plugin overrides the env var; pin via config too —
+        # without this a JAX_PLATFORMS=cpu bench run lands on the chip (and
+        # blocks on the single-tenant tunnel if anything else is using it)
+        jax.config.update("jax_platforms", value)
 
     from particle_simulator_tpu.utils.compile_cache import enable_compilation_cache
 
@@ -164,10 +179,24 @@ def main(argv=None) -> int:
     state = frame_fn(state, params)
     barrier(state)
 
+    frame_times = []
     t0 = time.perf_counter()
-    for _ in range(args.frames):
-        state = frame_fn(state, params)
-    vx = barrier(state)
+    if args.per_frame:
+        # tiny readback as the per-frame barrier: a full-field barrier would
+        # ship 67 MB/frame at 16M over the tunnel and drown the signal
+        import jax.numpy as jnp
+
+        probe = jax.jit(lambda s: jnp.sum(s.vx[0, :1]))
+        for _ in range(args.frames):
+            tf = time.perf_counter()
+            state = frame_fn(state, params)
+            float(jax.device_get(probe(state)))
+            frame_times.append(time.perf_counter() - tf)
+        vx = barrier(state)
+    else:
+        for _ in range(args.frames):
+            state = frame_fn(state, params)
+        vx = barrier(state)
     elapsed = time.perf_counter() - t0
     assert np.isfinite(vx).all(), "benchmark scene diverged"
     live_end = int(np.count_nonzero(np.asarray(jax.device_get(state.ty)) >= 0))
@@ -193,6 +222,21 @@ def main(argv=None) -> int:
                 **(
                     {"sharded_mesh": list(mesh.devices.shape)}
                     if args.sharded
+                    else {}
+                ),
+                **(
+                    {
+                        "frame_s": {
+                            "min": round(min(frame_times), 3),
+                            "p50": round(float(np.median(frame_times)), 3),
+                            "max": round(max(frame_times), 3),
+                            "cv": round(
+                                float(np.std(frame_times) / np.mean(frame_times)), 3
+                            ),
+                        },
+                        "frame_s_series": [round(t, 3) for t in frame_times],
+                    }
+                    if frame_times
                     else {}
                 ),
             }
