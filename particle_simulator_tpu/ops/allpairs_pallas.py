@@ -61,6 +61,14 @@ def _allpairs_kernel(
     dt = params_ref[_DT]
     C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
     Ce = C * eps
+    # log-domain pair-force constants (physics/mie.py mie_log_coeffs)
+    s2 = sigma * sigma
+    ce_s2 = Ce / s2
+    A1 = jnp.log(ce_s2 * m)
+    A2 = jnp.log(ce_s2 * n)
+    B1 = (m + F32(2.0)) * F32(0.5)
+    B2 = (n + F32(2.0)) * F32(0.5)
+    inv_s2 = F32(1.0) / s2
 
     x0 = xi_ref[:]  # (TI, 1) u32
     y0 = yi_ref[:]
@@ -100,9 +108,8 @@ def _allpairs_kernel(
 
     d2 = dx * dx + dyv * dyv
     d2 = jnp.where(valid, d2, F32(1.0))
-    inv_r = jax.lax.rsqrt(d2)
-    lsr = jnp.log(sigma * inv_r)
-    f_over_r = Ce * (m * jnp.exp(m * lsr) - n * jnp.exp(n * lsr)) * (inv_r * inv_r)
+    lu = jnp.log(d2 * inv_s2)
+    f_over_r = jnp.exp(A1 - B1 * lu) - jnp.exp(A2 - B2 * lu)
     f_over_r = jnp.where(valid, f_over_r, F32(0.0))
 
     fx_acc[:] = fx_acc[:] + jnp.sum(f_over_r * dx, axis=1, keepdims=True)

@@ -134,6 +134,17 @@ def _step_kernel(
     # C = (n/(n-m)) * (n/m)^(m/(n-m))  (particle.cuh:54)
     C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
     Ce = C * eps
+    # log-domain pair-force constants (physics/mie.py mie_log_coeffs):
+    # F/r = exp(A1 - B1*lu) - exp(A2 - B2*lu), lu = log(d2/sigma^2) — one
+    # log + two exp + two FMAs per pair; the rsqrt and five muls of the
+    # direct form hoist into these per-dispatch scalars
+    s2 = sigma * sigma
+    ce_s2 = Ce / s2
+    A1 = jnp.log(ce_s2 * m)
+    A2 = jnp.log(ce_s2 * n)
+    B1 = (m + F32(2.0)) * F32(0.5)
+    B2 = (n + F32(2.0)) * F32(0.5)
+    inv_s2 = F32(1.0) / s2
 
     live_i = ty0 >= 0
     xf = _u32_to_f32(x0)
@@ -215,9 +226,8 @@ def _step_kernel(
 
         d2 = dx * dx + dyy * dyy
         d2 = jnp.where(valid, d2, F32(1.0))
-        inv_r = jax.lax.rsqrt(d2)
-        lsr = jnp.log(sigma * inv_r)
-        f_over_r = Ce * (m * jnp.exp(m * lsr) - n * jnp.exp(n * lsr)) * (inv_r * inv_r)
+        lu = jnp.log(d2 * inv_s2)
+        f_over_r = jnp.exp(A1 - B1 * lu) - jnp.exp(A2 - B2 * lu)
         f_over_r = jnp.where(valid, f_over_r, F32(0.0))
         fx_acc[:] = fx_acc[:] + f_over_r * dx
         fy_acc[:] = fy_acc[:] + f_over_r * dyy

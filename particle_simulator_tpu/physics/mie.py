@@ -2,7 +2,9 @@
 
 Every formula here is a jnp transliteration of the reference's device functions
 (cuda_simulator/src/particle.cuh, kernel_compact.cuh, kernel_bucket.cuh), kept in
-f32 with the same operation order so trajectories agree to f32 tolerance:
+f32 so trajectories agree to f32 tolerance (the hot pair path uses the
+re-associated log-domain form — see ``mie_log_coeffs`` — which agrees with the
+reference's op order within f32 rounding; the oracle keeps the exact order):
 
 - Mie force        F(r)   = C * eps * (m*(s/r)^m - n*(s/r)^n) / r,
                    C      = (n/(n-m)) * (n/m)^(m/(n-m))           (particle.cuh:54,63-66)
@@ -49,6 +51,34 @@ def mie_force_repulsive(r, p: SimParams):
     return C * p.epsilon * p.m * jnp.power(sr, p.m) / r
 
 
+def mie_log_coeffs(p: SimParams):
+    """Log-domain pair-force constants.
+
+    The pair kernel needs F(r)/r, and the Mie law factors into two pure
+    exponentials of lu = log(r^2/sigma^2):
+
+        F(r)/r = C*eps*(m*(s/r)^m - n*(s/r)^n)/r^2
+               = exp(A1 - B1*lu) - exp(A2 - B2*lu),
+        A1 = log(C*eps*m/sigma^2),  B1 = (m+2)/2   (A2/B2 with n)
+
+    so the per-pair cost is one log + two exp + two FMAs: the direct form's
+    rsqrt and five multiplies (sigma*inv_r, m*lsr, n*lsr, inv_r^2, Ce*...)
+    hoist into the per-dispatch scalars. Same force law as the reference
+    (particle.cuh:54-66, just re-associated); all A/B are O(10) so the f32
+    exponent range is safe for any r where the direct form was. Agreement
+    with the oracle's powf form is within f32 rounding (tests/test_physics).
+    """
+    C = mie_constant(p.n, p.m)
+    s = jnp.asarray(p.sigma, F32)
+    s2 = s * s
+    ce_s2 = C * p.epsilon / s2
+    A1 = jnp.log(ce_s2 * p.m)
+    A2 = jnp.log(ce_s2 * p.n)
+    B1 = (p.m + F32(2.0)) * F32(0.5)
+    B2 = (p.n + F32(2.0)) * F32(0.5)
+    return A1, B1, A2, B2, F32(1.0) / s2
+
+
 def mie_potential(r, p: SimParams):
     """Potential energy V(r) = C*eps*((s/r)^n - (s/r)^m) — used by the energy
     diagnostics/tests; the reference documents it (particle.cuh:12) but never
@@ -87,9 +117,11 @@ def pair_force_accum(xi, yi, tyi, xj, yj, tyj, p: SimParams, self_mask=None):
     if self_mask is not None:
         valid = jnp.logical_and(valid, jnp.logical_not(self_mask))
 
-    r = jnp.hypot(dx, dy)
-    r_safe = jnp.where(valid, r, F32(1.0))
-    f_over_r = mie_force(r_safe, p) / r_safe
+    A1, B1, A2, B2, inv_s2 = mie_log_coeffs(p)
+    d2 = dx * dx + dy * dy
+    d2 = jnp.where(valid, d2, F32(1.0))
+    lu = jnp.log(d2 * inv_s2)
+    f_over_r = jnp.exp(A1 - B1 * lu) - jnp.exp(A2 - B2 * lu)
     f_over_r = jnp.where(valid, f_over_r, F32(0.0))
 
     fx = jnp.sum(f_over_r * dx, axis=-1)
