@@ -135,15 +135,20 @@ def _step_kernel(
     C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
     Ce = C * eps
     # log-domain pair-force constants (physics/mie.py mie_log_coeffs):
-    # F/r = exp(A1 - B1*lu) - exp(A2 - B2*lu), lu = log(d2/sigma^2) — one
-    # log + two exp + two FMAs per pair; the rsqrt and five muls of the
-    # direct form hoist into these per-dispatch scalars
+    # F/r = s1*exp(A1 - B1*lu) - s2*exp(A2 - B2*lu), lu = log(d2/sigma^2) —
+    # one log + two exp + two FMAs + two sign muls per pair; the rsqrt and
+    # five muls of the direct form hoist into these per-dispatch scalars
+    # (signs keep garbage metadata finite instead of log-of-negative NaN)
     s2 = sigma * sigma
     ce_s2 = Ce / s2
-    A1 = jnp.log(ce_s2 * m)
-    A2 = jnp.log(ce_s2 * n)
+    t1 = ce_s2 * m
+    t2 = ce_s2 * n
+    A1 = jnp.log(jnp.abs(t1))
+    A2 = jnp.log(jnp.abs(t2))
     B1 = (m + F32(2.0)) * F32(0.5)
     B2 = (n + F32(2.0)) * F32(0.5)
+    sg1 = jnp.where(t1 < F32(0.0), F32(-1.0), F32(1.0))
+    sg2 = jnp.where(t2 < F32(0.0), F32(-1.0), F32(1.0))
     inv_s2 = F32(1.0) / s2
 
     live_i = ty0 >= 0
@@ -227,7 +232,7 @@ def _step_kernel(
         d2 = dx * dx + dyy * dyy
         d2 = jnp.where(valid, d2, F32(1.0))
         lu = jnp.log(d2 * inv_s2)
-        f_over_r = jnp.exp(A1 - B1 * lu) - jnp.exp(A2 - B2 * lu)
+        f_over_r = sg1 * jnp.exp(A1 - B1 * lu) - sg2 * jnp.exp(A2 - B2 * lu)
         f_over_r = jnp.where(valid, f_over_r, F32(0.0))
         fx_acc[:] = fx_acc[:] + f_over_r * dx
         fy_acc[:] = fy_acc[:] + f_over_r * dyy

@@ -61,22 +61,30 @@ def mie_log_coeffs(p: SimParams):
                = exp(A1 - B1*lu) - exp(A2 - B2*lu),
         A1 = log(C*eps*m/sigma^2),  B1 = (m+2)/2   (A2/B2 with n)
 
-    so the per-pair cost is one log + two exp + two FMAs: the direct form's
-    rsqrt and five multiplies (sigma*inv_r, m*lsr, n*lsr, inv_r^2, Ce*...)
-    hoist into the per-dispatch scalars. Same force law as the reference
-    (particle.cuh:54-66, just re-associated); all A/B are O(10) so the f32
-    exponent range is safe for any r where the direct form was. Agreement
+    so the per-pair cost is one log + two exp + two FMAs + two sign
+    multiplies: the direct form's rsqrt and five multiplies (sigma*inv_r,
+    m*lsr, n*lsr, inv_r^2, Ce*...) hoist into the per-dispatch scalars.
+    Same force law as the reference (particle.cuh:54-66, just
+    re-associated); all A/B are O(10) so the f32 exponent range is safe for
+    any r where the direct form was. The per-term signs s1/s2 keep garbage
+    metadata (live-edited m > n, or negative eps/exponents — C*eps < 0)
+    producing the same FINITE values as the direct form instead of
+    log-of-negative NaNs that would permanently poison the scene. Agreement
     with the oracle's powf form is within f32 rounding (tests/test_physics).
     """
     C = mie_constant(p.n, p.m)
     s = jnp.asarray(p.sigma, F32)
     s2 = s * s
     ce_s2 = C * p.epsilon / s2
-    A1 = jnp.log(ce_s2 * p.m)
-    A2 = jnp.log(ce_s2 * p.n)
+    t1 = ce_s2 * p.m
+    t2 = ce_s2 * p.n
+    A1 = jnp.log(jnp.abs(t1))
+    A2 = jnp.log(jnp.abs(t2))
     B1 = (p.m + F32(2.0)) * F32(0.5)
     B2 = (p.n + F32(2.0)) * F32(0.5)
-    return A1, B1, A2, B2, F32(1.0) / s2
+    s1 = jnp.where(t1 < F32(0.0), F32(-1.0), F32(1.0))
+    s2_ = jnp.where(t2 < F32(0.0), F32(-1.0), F32(1.0))
+    return A1, B1, A2, B2, F32(1.0) / s2, s1, s2_
 
 
 def mie_potential(r, p: SimParams):
@@ -117,11 +125,11 @@ def pair_force_accum(xi, yi, tyi, xj, yj, tyj, p: SimParams, self_mask=None):
     if self_mask is not None:
         valid = jnp.logical_and(valid, jnp.logical_not(self_mask))
 
-    A1, B1, A2, B2, inv_s2 = mie_log_coeffs(p)
+    A1, B1, A2, B2, inv_s2, s1, s2 = mie_log_coeffs(p)
     d2 = dx * dx + dy * dy
     d2 = jnp.where(valid, d2, F32(1.0))
     lu = jnp.log(d2 * inv_s2)
-    f_over_r = jnp.exp(A1 - B1 * lu) - jnp.exp(A2 - B2 * lu)
+    f_over_r = s1 * jnp.exp(A1 - B1 * lu) - s2 * jnp.exp(A2 - B2 * lu)
     f_over_r = jnp.where(valid, f_over_r, F32(0.0))
 
     fx = jnp.sum(f_over_r * dx, axis=-1)

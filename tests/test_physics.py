@@ -177,3 +177,39 @@ def test_precision_report():
     assert rep["u32_fixed"]["r_rel_err"] < 1e-2
     # f32 absolute encoding at 90% of the box: resolution ~4nm vs r0 ~0.4nm
     assert rep["f32"]["r_rel_err"] > rep["u32_fixed"]["r_rel_err"]
+
+
+def test_log_domain_force_matches_direct_form():
+    """mie_log_coeffs' exp(A - B*lu) factorization == the direct
+    C*eps*(m*sr^m - n*sr^n)/r^2 form within f32 rounding, over the whole
+    physically reachable range (0.2 sigma overlap out to 16 sigma far field)
+    and for non-default exponents (they are live-editable metadata)."""
+    import jax.numpy as jnp
+
+    from particle_simulator_tpu.engine.state import SimParams
+    from particle_simulator_tpu.io.frame import Frame
+    from particle_simulator_tpu.physics.mie import mie_force, mie_log_coeffs
+
+    meta = Frame.new().metadata.copy()
+    # n is the larger (repulsive) exponent in this layout (defaults 12/6);
+    # the last pair is INVERTED garbage (m > n -> C*eps < 0): both forms
+    # must agree AND stay finite (the sign factoring exists for this)
+    for n_exp, m_exp in ((12.0, 6.0), (9.0, 4.0), (6.0, 12.0)):
+        meta["particles"][0]["n"] = n_exp
+        meta["particles"][0]["m"] = m_exp
+        p = SimParams.from_record(meta)
+        sigma = float(p.sigma)
+        r = jnp.asarray(np.geomspace(0.2 * sigma, 16.0 * sigma, 4096), jnp.float32)
+
+        direct = np.asarray(mie_force(r, p) / r, dtype=np.float64)
+        A1, B1, A2, B2, inv_s2, s1, s2 = mie_log_coeffs(p)
+        lu = jnp.log(r * r * inv_s2)
+        got = np.asarray(s1 * jnp.exp(A1 - B1 * lu) - s2 * jnp.exp(A2 - B2 * lu),
+                         dtype=np.float64)
+
+        assert np.isfinite(got).all(), (n_exp, m_exp)
+        # relative agreement where the force is non-negligible; the
+        # equilibrium zero-crossing needs an absolute floor
+        scale = np.abs(direct) + np.abs(direct).max() * 1e-6
+        err = np.abs(got - direct) / scale
+        assert err.max() < 5e-5, (n_exp, m_exp, err.max())
