@@ -104,6 +104,14 @@ def main(argv=None) -> int:
                          "exchange + edge-rows kernel) over a mesh of the "
                          "available devices — on one chip this measures the "
                          "shard overhead vs the single-chip runner")
+    ap.add_argument("--user-scene", action="store_true",
+                    help="bench the editor-drawn configuration instead of the "
+                         "dense grid: a hex lattice at 1.1 r0 spacing filling "
+                         "half the box, grid chosen by the engine's own "
+                         "density-aware _grid_for (2x occupancy headroom -> "
+                         "cap-16 at this density) — the honest interactive "
+                         "number, and the case the kernel's occupancy/dead-"
+                         "block pass skips exist for")
     ap.add_argument("--per-frame", action="store_true",
                     help="barrier every frame (1-element readback) and report "
                          "the per-frame time distribution — run-to-run "
@@ -129,6 +137,9 @@ def main(argv=None) -> int:
 
     from particle_simulator_tpu.physics.bucket import GridConfig, run_frame_bucket
     from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
+
+    if args.user_scene:
+        return bench_user_scene(args)
 
     # Smallest power-of-two grid holding the particle target at `fill`/bucket,
     # grown x-first so buckets are (2:1 wide or square) — cap 8 over a finer
@@ -239,6 +250,54 @@ def main(argv=None) -> int:
                     if frame_times
                     else {}
                 ),
+            }
+        )
+    )
+    return 0
+
+
+def bench_user_scene(args) -> int:
+    """Editor-drawn configuration: lattice scene through the engine's own
+    Simulator (grid via _grid_for, per-frame dispatch like the daemon)."""
+    import jax
+
+    from particle_simulator_tpu.engine.simulator import Simulator
+    from particle_simulator_tpu.scenes.library import _scene
+
+    side = max(2, int(round(args.particles ** 0.5)))
+    frame = _scene(side, side, distance_factor=1.1, speed=1.0, box_fill=0.5)
+    frame.metadata.steps_per_frame = args.steps
+    sim = Simulator()
+    sim.load_frame(frame)
+    n = int(np.count_nonzero(frame.particles["ty"] >= 0))
+
+    out = None
+    sim.frame_async()  # warmup/compile
+    sim.read_frame()
+    t0 = time.perf_counter()
+    for _ in range(args.frames):
+        sim.frame_async()
+    out = sim.read_frame()  # blocks on the final state
+    elapsed = time.perf_counter() - t0
+    assert np.isfinite(out.particles["vx"]).all(), "benchmark scene diverged"
+
+    g = sim.grid
+    value = n * args.steps * args.frames / elapsed
+    print(
+        json.dumps(
+            {
+                "metric": "particle-steps/sec/chip",
+                "scene": "user-lattice",
+                "value": round(value, 1),
+                "unit": "particle*steps/s",
+                "vs_baseline": round(value / NORTH_STAR, 3),
+                "particles": n,
+                "steps_per_frame": args.steps,
+                "frames": args.frames,
+                "elapsed_s": round(elapsed, 3),
+                "sim_steps_per_sec": round(args.steps * args.frames / elapsed, 2),
+                "grid": [g.by, g.bx, g.cap],
+                "device": str(jax.devices()[0].platform),
             }
         )
     )

@@ -44,8 +44,11 @@ from particle_simulator_tpu.engine.state import PARTICLE_MASS, ParticleState, Si
 
 F32 = jnp.float32
 
-# params vector layout (SMEM)
-_SIGMA, _EPS, _N, _M, _CURX, _CURY, _CURSZ, _DT, _BW, _BH = range(10)
+# params vector layout (SMEM). _OMAX (bucket-step kernel only, appended at its
+# call site — allpairs ships the bare 10) = global max live slot index + 1:
+# pair passes whose lane-shift residue cannot reach a live slot are skipped at
+# runtime (see _step_kernel's occupancy predicate).
+_SIGMA, _EPS, _N, _M, _CURX, _CURY, _CURSZ, _DT, _BW, _BH, _OMAX = range(11)
 _NPARAMS = 10
 
 
@@ -115,6 +118,36 @@ def _lane_bad_table(cap: int, L: int) -> np.ndarray:
 
 
 def _step_kernel(
+    params_ref, flags_ref,
+    x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref, badmask_ref,
+    ox_ref, oy_ref, ovx_ref, ovy_ref,
+    fx_acc, fy_acc,
+    *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
+):
+    # Whole-block liveness skip: a block whose every slot is a tombstone has
+    # no receivers — every output select below would pick the old value — so
+    # copy inputs through and skip all 3*(4*cap-1) pair passes. Spatially
+    # sparse scenes (a droplet in a big box, the phase-sweep half-filled
+    # lattice) make this the common case.
+    block_live = flags_ref[pl.program_id(0)] != 0
+
+    @pl.when(jnp.logical_not(block_live))
+    def _dead_block():
+        ox_ref[:] = x_ref[:]
+        oy_ref[:] = y_ref[:]
+        ovx_ref[:] = vx_ref[:]
+        ovy_ref[:] = vy_ref[:]
+
+    @pl.when(block_live)
+    def _live_block():
+        _step_block(
+            params_ref, x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
+            badmask_ref, ox_ref, oy_ref, ovx_ref, ovy_ref, fx_acc, fy_acc,
+            ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes,
+        )
+
+
+def _step_block(
     params_ref,
     x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref, badmask_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref,
@@ -250,13 +283,32 @@ def _step_kernel(
             [cx_row, cy_row, jax.lax.bitcast_convert_type(cty_row, jnp.uint32)], axis=0
         )
 
+    # Occupancy pass skip: rebucketing fills slots ascending, so live slots
+    # are < omax = (global max live slot index + 1), recomputed per dispatch.
+    # A shift-t candidate pairs receiver slot s with slot s' = s + t (mod cap,
+    # bucket carry absorbed by the bucket-delta mask); both live needs
+    # s' - s ≡ t (mod cap) with |s' - s| <= omax-1, i.e. the residue
+    # r = t mod cap in [0, omax) or (cap-omax, cap). Other passes have zero
+    # valid pairs — skip them at runtime. Exact, not approximate: a skipped
+    # pass could only have added 0.0 force. At omax << cap (sparse scenes
+    # pinned at the 2*r0 bucket-side floor) this cuts the pass count from
+    # 3*(4*cap-1) to ~9*(2*omax-1).
+    omax = params_ref[_OMAX]
+
+    def residue_live(t: int):
+        r = t % cap  # python mod: non-negative
+        return (F32(r) < omax) | (F32(cap - r) < omax)
+
     if not dynamic_passes:
         for dy in (-1, 0, 1):
             stacked = stack3(dy)
             for t in range(-(2 * cap - 1), 2 * cap):
                 if dy == 0 and t == 0:
                     continue  # self pair (kernel loop's j != i)
-                pair_pass(lane_bad_const(t), rolled=_roll_lanes(stacked, t))
+
+                @pl.when(residue_live(t))
+                def _pass(t=t, stacked=stacked):
+                    pair_pass(lane_bad_const(t), rolled=_roll_lanes(stacked, t))
     else:
         # Dynamic-pass variant: one pass body PER dy (3 total), fori over the
         # shift t — the Mosaic program is ~(4*CAP-1)x smaller, turning the
@@ -274,15 +326,21 @@ def _step_kernel(
 
             def pass_body(i, carry, stacked=stacked, dy=dy):
                 t = i - (2 * cap - 1)
-                rolled = pltpu.roll(stacked, -t, axis=1)
-                delta = (slot + t + 2 * cap) // cap - 2
-                ok = (
-                    (lane + t >= 0) & (lane + t < L)
-                    & (delta >= -1) & (delta <= 1)
-                )
-                if dy == 0:
-                    ok = ok & (t != 0)  # self pair (kernel loop's j != i)
-                pair_pass(ok, rolled=rolled)
+                r = jax.lax.rem(jax.lax.rem(t, cap) + cap, cap)
+                live = (r.astype(F32) < omax) | (F32(cap) - r.astype(F32) < omax)
+
+                @pl.when(live)  # same occupancy residue skip as the static path
+                def _pass():
+                    rolled = pltpu.roll(stacked, -t, axis=1)
+                    delta = (slot + t + 2 * cap) // cap - 2
+                    ok = (
+                        (lane + t >= 0) & (lane + t < L)
+                        & (delta >= -1) & (delta <= 1)
+                    )
+                    if dy == 0:
+                        ok = ok & (t != 0)  # self pair (kernel loop's j != i)
+                    pair_pass(ok, rolled=rolled)
+
                 return carry
 
             jax.lax.fori_loop(0, n_shift, pass_body, 0)
@@ -352,7 +410,27 @@ def bucket_step_pallas(
     def flat(a):
         return a.reshape(by, L)
 
-    params = _params_vector(p)
+    # Occupancy bound for the kernel's pass-skip predicate: global max live
+    # slot index + 1 (NOT the live count — robust to non-contiguous slot
+    # layouts even though rebucketing always packs slots ascending). Candidate
+    # rows from a neighbor shard count too. One tiny elementwise reduce per
+    # dispatch; at omax == cap every pass runs like before.
+    slot_no = jnp.arange(cap, dtype=jnp.int32) + 1
+
+    def top_slot(ty):
+        return jnp.max(jnp.where(ty >= 0, slot_no, 0))
+
+    omax = top_slot(state.ty)
+    if edge_rows is not None:
+        omax = jnp.maximum(
+            omax, jnp.maximum(top_slot(edge_rows[0].ty), top_slot(edge_rows[1].ty))
+        )
+    params = jnp.concatenate([_params_vector(p), omax.astype(F32)[None]])
+    # per-block any-live flags (receivers only: a block of tombstones writes
+    # pass-through outputs regardless of its neighbors)
+    flags = (
+        flat(state.ty).reshape(n_blocks, ty_rows * L).max(axis=1) >= 0
+    ).astype(jnp.int32)
 
     spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
 
@@ -434,7 +512,8 @@ def bucket_step_pallas(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (+ omax)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-block liveness flags
             spec(), spec(), spec(), spec(), spec(),  # x, y, ty, vx, vy
             halo_spec,  # packed neighbor rows
             badmask_spec,  # static lane-validity table
@@ -452,6 +531,7 @@ def bucket_step_pallas(
         interpret=interpret,
     )(
         params,
+        flags,
         flat(state.x), flat(state.y), flat(state.ty),
         flat(state.vx), flat(state.vy),
         halo,

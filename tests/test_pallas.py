@@ -217,6 +217,78 @@ def test_pallas_step_random_scenes_property():
         np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-3, atol=1e-2, err_msg=f"trial {trial}")
 
 
+def _sparse_scene(cfg, n=220, seed=5):
+    """Spread-out particles confined to the lower 40% of the box: low
+    per-bucket occupancy (omax << cap) AND entirely-dead upper bucket rows."""
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE, default_metadata
+
+    rng = np.random.default_rng(seed)
+    meta = default_metadata()
+    parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+    side = int(np.ceil(np.sqrt(n)))
+    cells = rng.choice(side * side, n, replace=False)
+    jitter = rng.integers(0, 2**32 // (side * 8), (2, n), dtype=np.uint64)
+    span_x = int(0.9 * 2**32)
+    span_y = int(0.35 * 2**32)
+    parts["x"] = (int(0.05 * 2**32) + ((cells % side) * (span_x // side) + jitter[0])).astype(np.uint32)
+    parts["y"] = (int(0.05 * 2**32) + ((cells // side) * (span_y // side) + jitter[1])).astype(np.uint32)
+    parts["vx"] = rng.normal(0, 100, n)
+    parts["vy"] = rng.normal(0, 100, n)
+    parts["ty"] = rng.integers(0, 2, n)
+    layout = bucketize_numpy(parts, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    return state, SimParams.from_record(meta)
+
+
+def test_pallas_step_sparse_occupancy_skip():
+    """A sparse scene in a cap-16 grid exercises BOTH runtime skips (the
+    occupancy residue predicate with omax << cap, and whole-dead-block
+    passthrough) — the physics must still match the jnp path exactly as in
+    the dense tests."""
+    cfg = GridConfig(4, 4, 16)
+    state, p = _sparse_scene(cfg)
+    ty = np.asarray(state.ty)
+    # preconditions: sparse occupancy and some entirely-dead bucket rows
+    occ = (ty >= 0) * (np.arange(cfg.cap) + 1)
+    assert occ.max() <= 8, "scene not sparse enough to exercise the skip"
+    assert (ty.max(axis=(1, 2)) < 0).any(), "no dead rows to exercise block skip"
+
+    ref = jax.tree.map(np.asarray, bucket_step(state, p))
+    got = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.y.astype(np.int64), got.y.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
+
+    got_dyn = jax.tree.map(
+        np.asarray, bucket_step_pallas(state, p, interpret=True, dynamic_passes=True)
+    )
+    np.testing.assert_allclose(ref.vx, got_dyn.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got_dyn.vy, rtol=1e-4, atol=1e-3)
+
+
+def test_pallas_step_non_contiguous_slots():
+    """The occupancy bound is the max live SLOT INDEX + 1, not the live count:
+    scatter a bucket's particles to high slots (legal states only arise packed,
+    but the kernel must not silently mis-integrate a hand-built one) and check
+    the skip predicate stays conservative."""
+    cfg = GridConfig(4, 4, 16)
+    state, p = _sparse_scene(cfg, seed=9)
+    perm = np.random.default_rng(3).permutation(cfg.cap)
+    state = jax.tree.map(lambda a: jnp.asarray(np.asarray(a)[:, :, perm]), state)
+    occ_count = int((np.asarray(state.ty) >= 0).sum(axis=2).max())
+    top_slot = int(((np.asarray(state.ty) >= 0) * (np.arange(cfg.cap) + 1)).max())
+    assert top_slot > occ_count, "permutation failed to break slot contiguity"
+
+    ref = jax.tree.map(np.asarray, bucket_step(state, p))
+    got = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    np.testing.assert_allclose(ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=2)
+    np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
+
+
 def test_pallas_move_random_scenes_property():
     """Randomized differential test for the rebucket pass: random drifts,
     occupancy, and tombstones — bit-identity against the pull-based oracle."""
