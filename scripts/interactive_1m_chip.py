@@ -57,7 +57,9 @@ def main(argv=None) -> int:
                     help="reference default interactive cadence (particle.rs:139-142)")
     ap.add_argument("--http-port", type=int, default=8731)
     ap.add_argument("--tcp-port", type=int, default=53141)
-    ap.add_argument("--compile-wait", type=float, default=900.0)
+    ap.add_argument("--compile-wait", type=float, default=1800.0,
+                    help="first-frame budget: the 512x512x16 Mosaic compile "
+                         "runs ~19 min cold over the dev tunnel")
     ap.add_argument("--readback-pipeline", type=int, default=1)
     args = ap.parse_args(argv)
 
