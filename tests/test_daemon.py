@@ -514,6 +514,11 @@ def test_compilation_cache_persists_executables(tmp_path):
         "enable_compilation_cache\n"
         f"assert enable_compilation_cache({str(cache)!r})\n"
         "import jax, jax.numpy as jnp\n"
+        # the env var alone is not enough: the axon TPU plugin self-selects
+        # regardless, and its first device op BLOCKS on the single-tenant
+        # tunnel lease if any chip job is running (observed: this subprocess
+        # timing out at 300 s during a concurrent phase-sweep run)
+        "jax.config.update('jax_platforms', 'cpu')\n"
         "import numpy as np\n"
         "f = jax.jit(lambda x: jnp.sin(x) * 2.0 + jnp.cumsum(x))\n"
         "np.asarray(f(jnp.arange(128, dtype=jnp.float32)))\n"
