@@ -287,28 +287,44 @@ def _step_block(
     # are < omax = (global max live slot index + 1), recomputed per dispatch.
     # A shift-t candidate pairs receiver slot s with slot s' = s + t (mod cap,
     # bucket carry absorbed by the bucket-delta mask); both live needs
-    # s' - s ≡ t (mod cap) with |s' - s| <= omax-1, i.e. the residue
-    # r = t mod cap in [0, omax) or (cap-omax, cap). Other passes have zero
-    # valid pairs — skip them at runtime. Exact, not approximate: a skipped
-    # pass could only have added 0.0 force. At omax << cap (sparse scenes
-    # pinned at the 2*r0 bucket-side floor) this cuts the pass count from
-    # 3*(4*cap-1) to ~9*(2*omax-1).
+    # s' - s ≡ t (mod cap) with |s' - s| <= omax-1, i.e.
+    # min(r, cap - r) < omax for the residue r = t mod cap. Other passes have
+    # zero valid pairs — skip them at runtime. Exact, not approximate: a
+    # skipped pass could only have added 0.0 force. At omax << cap (sparse
+    # scenes pinned at the 2*r0 bucket-side floor) this cuts the pass count
+    # from 3*(4*cap-1) to ~9*(2*omax-1).
+    #
+    # Granularity matters: one pl.when PER PASS measured -25% at 1M dense
+    # (93 control regions break Mosaic's cross-pass software pipelining), so
+    # passes are grouped by predicate equivalence class (key = min(r, cap-r):
+    # ~cap/2 scalar conds per step, each wrapping a long pipelineable pass
+    # run). At cap <= 8 the classes are too small to ever pay for their
+    # conds (a 2x-headroom cap-8 scene skips at most 1/5 of passes) — the
+    # residue skip compiles out entirely and only the dead-block skip stays.
     omax = params_ref[_OMAX]
 
-    def residue_live(t: int):
-        r = t % cap  # python mod: non-negative
-        return (F32(r) < omax) | (F32(cap - r) < omax)
-
     if not dynamic_passes:
+        stacked_by_dy = {dy: stack3(dy) for dy in (-1, 0, 1)}
+        groups: dict[int, list] = {}
         for dy in (-1, 0, 1):
-            stacked = stack3(dy)
             for t in range(-(2 * cap - 1), 2 * cap):
                 if dy == 0 and t == 0:
                     continue  # self pair (kernel loop's j != i)
+                r = t % cap
+                groups.setdefault(min(r, cap - r), []).append((dy, t))
 
-                @pl.when(residue_live(t))
-                def _pass(t=t, stacked=stacked):
-                    pair_pass(lane_bad_const(t), rolled=_roll_lanes(stacked, t))
+        def run_group(passes):
+            for dy, t in passes:
+                pair_pass(lane_bad_const(t), rolled=_roll_lanes(stacked_by_dy[dy], t))
+
+        for key in sorted(groups):
+            if cap <= 8 or key == 0:  # r = 0 pairs slot s with s: live blocks
+                run_group(groups[key])  # have omax >= 1, so always useful
+            else:
+
+                @pl.when(F32(key) < omax)
+                def _group(passes=groups[key]):
+                    run_group(passes)
     else:
         # Dynamic-pass variant: one pass body PER dy (3 total), fori over the
         # shift t — the Mosaic program is ~(4*CAP-1)x smaller, turning the
