@@ -187,17 +187,10 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
         if shipped % 64 == 0:
             print(f"engine: {meter.report()}", file=sys.stderr)
 
-    def enqueue(state, hint: bool) -> None:
-        # only jit outputs may be async-copy hinted: hinting a fresh
-        # device_put array (post-scene-load / re-layout states) wedges the
-        # tunneled platform's transfer stream (engine/state.py NOTE)
-        if hint:
-            for a in state:
-                if hasattr(a, "copy_to_host_async") and a.is_fully_addressable:
-                    a.copy_to_host_async()
+    def enqueue(ticket) -> None:
         # capture the metadata the state was computed under, so a live edit
         # never stamps queued older states with the new parameters
-        queue.append((state, sim.meta_record.copy()))
+        queue.append((ticket, sim.meta_record.copy()))
 
     def can_ship() -> bool:
         return max_frames is None or shipped < max_frames
@@ -213,8 +206,13 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
     sim.frame_async()
 
     while frontend.is_connected and (max_frames is None or shipped < max_frames):
-        prev_state = sim.state  # the frame just dispatched resolves into this
-        prev_is_dispatched = sim.state_is_dispatched
+        # Start the readback of the frame just dispatched BEFORE enqueueing
+        # the next frame's compute: the device-side compaction
+        # (sim.start_readback, ops/readback.py) then lands right behind
+        # frame k on the device queue and its host copy overlaps frame k+1.
+        # hint only vouches raw states as jit outputs (the tunnel-wedge
+        # rule, engine/state.py NOTE); compacted outputs are always hinted.
+        prev_ticket = sim.start_readback(hint=sim.state_is_dispatched)
         sim.frame_async()  # enqueue NEXT frame's steps (overlaps readback below)
 
         incoming = frontend.read()
@@ -234,7 +232,7 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
                 sim.frame_async()
                 continue
 
-        enqueue(prev_state, hint=prev_is_dispatched)
+        enqueue(prev_ticket)
         if len(queue) > readback_depth:
             ship(*queue.popleft())
     while queue and frontend.is_connected and (max_frames is None or shipped < max_frames):

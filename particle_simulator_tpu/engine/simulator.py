@@ -42,6 +42,7 @@ from particle_simulator_tpu.io.frame import (
     Device,
     Frame,
 )
+from particle_simulator_tpu.ops.readback import pow2_at_least
 from particle_simulator_tpu.physics.bucket import (
     GridConfig,
     REFERENCE_GRID,
@@ -49,6 +50,22 @@ from particle_simulator_tpu.physics.bucket import (
     run_frame_bucket,
 )
 from particle_simulator_tpu.physics.step import allpairs_step, run_frame
+
+
+class ReadbackTicket:
+    """A started device->host readback (engine/daemon.py enqueues these).
+
+    ``packed``/``counts`` are the device-compacted outputs of
+    ops/readback.compact_readback (None when the state was read the slow
+    full-grid way); ``state`` is retained for the rare k-overflow retry."""
+
+    __slots__ = ("state", "counts", "packed", "k")
+
+    def __init__(self, state, counts=None, packed=None, k=0):
+        self.state = state
+        self.counts = counts
+        self.packed = packed
+        self.k = k
 
 
 def _accelerator_device():
@@ -195,6 +212,14 @@ class Simulator:
         self.meta_record: Optional[np.ndarray] = None
         self.data_structure = DataStructure.MATRIX_BUCKETS
         self.active_device = Device.GPU
+        # Device-side readback compaction (ops/readback.py): kcap = slots
+        # read back per bucket (sticky, power of two; grows on overflow,
+        # shrinks on a long low streak). force_device_readback lets CPU
+        # tests drive the fast path (on a real CPU backend the transfer it
+        # saves is free).
+        self._readback_k = 8
+        self._readback_low_streak = 0
+        self.force_device_readback = False
 
     # -- scene / metadata ingest (kernel_prepare_frame analog) -----------------
     def _target_device(self, requested: Device):
@@ -269,6 +294,12 @@ class Simulator:
                         self.grid.cap, self.grid.move_every,
                     )
             layout = bucketize_numpy(live, self.grid)
+            # seed the readback slot-slice width from the actual bucket
+            # occupancy so the first ship's jit signature is already right
+            g = self.grid
+            occ = (layout["ty"].reshape(g.by, g.bx, g.cap) >= 0).sum(axis=2)
+            self._readback_k = pow2_at_least(int(occ.max(initial=0)))
+            self._readback_low_streak = 0
             state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
             if self.mesh is not None:
                 from particle_simulator_tpu.parallel.domain import (
@@ -456,19 +487,96 @@ class Simulator:
             state = gather_global(state)
         return state_to_numpy(state)
 
-    def read_frame(self, state: Optional[ParticleState] = None,
-                   meta: Optional[np.ndarray] = None) -> Frame:
-        """Device -> host readback of a state (default: current), compacted and
-        wrapped in a wire frame (frontend.write semantics: tombstones removed
-        before shipping, frontend.hpp:50-56). ``meta`` overrides the metadata
-        record stamped on the frame (the daemon's readback pipeline captures
-        it at enqueue time so queued frames keep the params they were
-        computed under)."""
+    def _fast_readback_ok(self, state) -> bool:
+        """Bucket-grid states on an accelerator qualify for device-side
+        compaction (ops/readback.py); everything else (CompactArray 1D
+        layouts, host-resident CpuMainThread states, sharded mesh states,
+        plain-CPU states where the transfer is free) reads the full grid."""
+        if self.mesh is not None or not isinstance(state, ParticleState):
+            return False
+        x = state.x
+        if not isinstance(x, jax.Array) or x.ndim != 3:
+            return False
+        if self.force_device_readback:
+            return True
+        try:
+            return (
+                x.is_fully_addressable
+                and next(iter(x.devices())).platform != "cpu"
+            )
+        except Exception:
+            return False
+
+    def start_readback(self, state: Optional[ParticleState] = None,
+                       hint: bool = False) -> ReadbackTicket:
+        """Kick off the device->host readback of ``state`` (default current)
+        and return a ticket ``read_frame`` consumes. On the accelerator bucket
+        path this dispatches the slot-slice readback (ops/readback.py):
+        per-bucket counts + ``state[:, :, :kcap]``, cutting the host-link
+        transfer by cap/kcap (the reference reads exactly ``len`` particles
+        too, kernel.cuh:116-165). ``hint`` requests copy_to_host_async
+        overlap — essential on the tunneled platform, where a synchronous
+        first fetch of a fresh buffer runs ~25-85x under the async-drain
+        rate (measured) — always safe on the fast path (slice outputs are
+        jit outputs), and
+        forwarded to the raw state fields on the slow path only when the
+        caller vouches they are jit outputs (the tunnel-wedge rule,
+        engine/daemon.py enqueue)."""
         state = self.state if state is None else state
-        parts = self._state_numpy(state)
+        if not self._fast_readback_ok(state):
+            if hint:
+                for a in state:
+                    if hasattr(a, "copy_to_host_async") and a.is_fully_addressable:
+                        a.copy_to_host_async()
+            return ReadbackTicket(state)
+        from particle_simulator_tpu.ops.readback import compact_readback
+
+        k = min(self._readback_k, state.x.shape[-1])
+        counts, packed = compact_readback(state, k)
+        for a in (counts, *packed):
+            if hasattr(a, "copy_to_host_async"):
+                a.copy_to_host_async()
+        return ReadbackTicket(state, counts, packed, k)
+
+    def read_frame(self, state=None, meta: Optional[np.ndarray] = None) -> Frame:
+        """Device -> host readback (default: current state), compacted and
+        wrapped in a wire frame (frontend.write semantics: tombstones removed
+        before shipping, frontend.hpp:50-56). Accepts a ``ReadbackTicket``
+        from ``start_readback`` (the daemon's readback pipeline), a raw
+        state, or None. ``meta`` overrides the metadata record stamped on the
+        frame (captured at enqueue time so queued frames keep the params they
+        were computed under)."""
+        if not isinstance(state, ReadbackTicket):
+            state = self.start_readback(state)
         rec = self.meta_record if meta is None else meta
-        frame = Frame.from_particles(rec, parts[parts["ty"] >= 0])
-        return frame
+        if state.packed is None:
+            parts = self._state_numpy(state.state)
+            return Frame.from_particles(rec, parts[parts["ty"] >= 0])
+
+        from particle_simulator_tpu.ops.readback import (
+            assemble_buckets,
+            compact_readback,
+            pow2_at_least,
+        )
+
+        counts, packed, k = state.counts, state.packed, state.k
+        counts_np = np.asarray(jax.device_get(counts))
+        mx = int(counts_np.max(initial=0))
+        if mx > k:
+            # a bucket outgrew the slice since load: widen (sticky) and redo
+            self._readback_k = k = min(pow2_at_least(mx), state.state.x.shape[-1])
+            self._readback_low_streak = 0
+            counts, packed = compact_readback(state.state, k)
+        elif mx <= k // 2 and k > 1:
+            self._readback_low_streak += 1
+            if self._readback_low_streak >= 256:
+                self._readback_k = max(1, k // 2)
+                self._readback_low_streak = 0
+        else:
+            self._readback_low_streak = 0
+        counts_np2, fields = jax.device_get((counts, tuple(packed)))
+        live = assemble_buckets(np.asarray(counts_np2), ParticleState(*fields))
+        return Frame.from_particles(rec, live)
 
     @property
     def live_count(self) -> int:
