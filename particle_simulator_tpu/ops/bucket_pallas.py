@@ -688,6 +688,10 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
             jax.ShapeDtypeStruct((by, L), jnp.float32),
             jax.ShapeDtypeStruct((by, L), jnp.int32),
         ],
+        # the 18+5 double-buffered (ty_rows, L) pipeline blocks pass ~22 MB at
+        # L = 16k (1024x1024x16 user grids, 1024x2048x8 16M grids) — over the
+        # 16 MB default scoped-vmem limit but well inside physical VMEM
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
         *triplet(state.x), *triplet(state.y), *triplet(state.ty),
