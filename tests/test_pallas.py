@@ -399,3 +399,27 @@ def test_pallas_step_dynamic_passes_with_tombstones_and_cursor():
     np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
     dead = np.asarray(state.ty) < 0
     np.testing.assert_array_equal(got.x[dead], np.asarray(state.x)[dead])
+
+
+def test_bucket_pallas_calls_set_vmem_limit():
+    """Every pallas_call in the bucket kernels must raise the scoped-VMEM
+    limit explicitly: their (8, L) pipeline blocks pass ~22 MB at L = 16384
+    (1024x1024x16 user grids, 1024x2048x8 16M grids), over Mosaic's 16 MB
+    default. A call without compiler_params compiles fine on every CI shape
+    and then VMEM-OOMs the daemon the first time a 1M interactive scene lands
+    on a cap-16 grid — exactly how the omission in bucket_move_pallas shipped."""
+    import re
+
+    import particle_simulator_tpu.ops.bucket_pallas as mod
+
+    src = open(mod.__file__).read()
+    calls = [m.start() for m in re.finditer(r"pl\.pallas_call\(", src)]
+    assert calls, "expected pallas_call sites in bucket_pallas"
+    for pos in calls:
+        # the closing `)(` of pallas_call bounds this call's kwargs
+        body = src[pos : src.index(")(", pos)]
+        line = src[: pos].count("\n") + 1
+        assert "vmem_limit_bytes" in body, (
+            f"pallas_call at bucket_pallas.py:{line} does not set "
+            "compiler_params=CompilerParams(vmem_limit_bytes=...)"
+        )
