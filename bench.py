@@ -313,6 +313,7 @@ def bench_user_scene(args) -> int:
                 "sim_steps_per_sec": round(args.steps * args.frames / elapsed, 2),
                 "readback_ms": round(readback_s * 1e3, 1),
                 "readback_k": sim._readback_k,
+                "readback_ncap": sim._readback_ncap,
                 "grid": [g.by, g.bx, g.cap],
                 "device": str(jax.devices()[0].platform),
             }

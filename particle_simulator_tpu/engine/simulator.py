@@ -55,17 +55,18 @@ from particle_simulator_tpu.physics.step import allpairs_step, run_frame
 class ReadbackTicket:
     """A started device->host readback (engine/daemon.py enqueues these).
 
-    ``packed``/``counts`` are the device-compacted outputs of
-    ops/readback.compact_readback (None when the state was read the slow
-    full-grid way); ``state`` is retained for the rare k-overflow retry."""
+    ``packed``/``scalars`` are the device-compacted outputs of
+    ops/readback.dense_readback (None when the state was read the slow
+    full-grid way); ``state`` is retained for the rare overflow retry."""
 
-    __slots__ = ("state", "counts", "packed", "k")
+    __slots__ = ("state", "scalars", "packed", "k", "ncap")
 
-    def __init__(self, state, counts=None, packed=None, k=0):
+    def __init__(self, state, scalars=None, packed=None, k=0, ncap=0):
         self.state = state
-        self.counts = counts
+        self.scalars = scalars
         self.packed = packed
         self.k = k
+        self.ncap = ncap
 
 
 def _accelerator_device():
@@ -212,12 +213,16 @@ class Simulator:
         self.meta_record: Optional[np.ndarray] = None
         self.data_structure = DataStructure.MATRIX_BUCKETS
         self.active_device = Device.GPU
-        # Device-side readback compaction (ops/readback.py): kcap = slots
-        # read back per bucket (sticky, power of two; grows on overflow,
-        # shrinks on a long low streak). force_device_readback lets CPU
-        # tests drive the fast path (on a real CPU backend the transfer it
-        # saves is free).
+        # Device-side readback compaction (ops/readback.py): kcap = the
+        # occupied slot prefix the dense pack gathers from (sticky, power of
+        # two; grows on overflow, shrinks on a long low streak); ncap = the
+        # dense pack's output length (sticky, power of two >= the live
+        # count, seeded at scene load — physics only ever DROPS particles,
+        # so it can't overflow between loads; guarded anyway).
+        # force_device_readback lets CPU tests drive the fast path (on a
+        # real CPU backend the transfer it saves is free).
         self._readback_k = 8
+        self._readback_ncap = 1
         self._readback_low_streak = 0
         self.force_device_readback = False
 
@@ -294,11 +299,13 @@ class Simulator:
                         self.grid.cap, self.grid.move_every,
                     )
             layout = bucketize_numpy(live, self.grid)
-            # seed the readback slot-slice width from the actual bucket
-            # occupancy so the first ship's jit signature is already right
+            # seed the readback's occupied-prefix width and dense-pack
+            # length from the actual scene so the first ship's jit
+            # signature is already right
             g = self.grid
             occ = (layout["ty"].reshape(g.by, g.bx, g.cap) >= 0).sum(axis=2)
             self._readback_k = pow2_at_least(int(occ.max(initial=0)))
+            self._readback_ncap = pow2_at_least(len(live))
             self._readback_low_streak = 0
             state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
             if self.mesh is not None:
@@ -511,17 +518,16 @@ class Simulator:
                        hint: bool = False) -> ReadbackTicket:
         """Kick off the device->host readback of ``state`` (default current)
         and return a ticket ``read_frame`` consumes. On the accelerator bucket
-        path this dispatches the slot-slice readback (ops/readback.py):
-        per-bucket counts + ``state[:, :, :kcap]``, cutting the host-link
-        transfer by cap/kcap (the reference reads exactly ``len`` particles
-        too, kernel.cuh:116-165). ``hint`` requests copy_to_host_async
-        overlap — essential on the tunneled platform, where a synchronous
-        first fetch of a fresh buffer runs ~25-85x under the async-drain
-        rate (measured) — always safe on the fast path (slice outputs are
-        jit outputs), and
-        forwarded to the raw state fields on the slow path only when the
-        caller vouches they are jit outputs (the tunnel-wedge rule,
-        engine/daemon.py enqueue)."""
+        path this dispatches the dense-pack readback (ops/readback.py):
+        every live particle gathered into exactly-sized output arrays, so
+        the host link carries ~the wire frame's own bytes (the reference
+        reads exactly ``len`` particles too, kernel.cuh:116-165). ``hint``
+        requests copy_to_host_async overlap — essential on the tunneled
+        platform, where a synchronous first fetch of a fresh buffer runs
+        ~25-85x under the async-drain rate (measured) — always safe on the
+        fast path (pack outputs are jit outputs), and forwarded to the raw
+        state fields on the slow path only when the caller vouches they are
+        jit outputs (the tunnel-wedge rule, engine/daemon.py enqueue)."""
         state = self.state if state is None else state
         if not self._fast_readback_ok(state):
             if hint:
@@ -529,14 +535,15 @@ class Simulator:
                     if hasattr(a, "copy_to_host_async") and a.is_fully_addressable:
                         a.copy_to_host_async()
             return ReadbackTicket(state)
-        from particle_simulator_tpu.ops.readback import compact_readback
+        from particle_simulator_tpu.ops.readback import dense_readback
 
         k = min(self._readback_k, state.x.shape[-1])
-        counts, packed = compact_readback(state, k)
-        for a in (counts, *packed):
+        ncap = self._readback_ncap
+        scalars, packed = dense_readback(state, k, ncap)
+        for a in (scalars, *packed):
             if hasattr(a, "copy_to_host_async"):
                 a.copy_to_host_async()
-        return ReadbackTicket(state, counts, packed, k)
+        return ReadbackTicket(state, scalars, packed, k, ncap)
 
     def read_frame(self, state=None, meta: Optional[np.ndarray] = None) -> Frame:
         """Device -> host readback (default: current state), compacted and
@@ -554,19 +561,21 @@ class Simulator:
             return Frame.from_particles(rec, parts[parts["ty"] >= 0])
 
         from particle_simulator_tpu.ops.readback import (
-            assemble_buckets,
-            compact_readback,
+            dense_readback,
+            dense_to_particles,
             pow2_at_least,
         )
 
-        counts, packed, k = state.counts, state.packed, state.k
-        counts_np = np.asarray(jax.device_get(counts))
-        mx = int(counts_np.max(initial=0))
-        if mx > k:
-            # a bucket outgrew the slice since load: widen (sticky) and redo
+        scalars, packed, k, ncap = state.scalars, state.packed, state.k, state.ncap
+        mx, total = (int(v) for v in np.asarray(jax.device_get(scalars)))
+        if mx > k or total > ncap:
+            # a bucket outgrew the occupied prefix (or — defensively; physics
+            # only drops — the pack length): widen the sticky sizes and redo
             self._readback_k = k = min(pow2_at_least(mx), state.state.x.shape[-1])
+            self._readback_ncap = ncap = max(ncap, pow2_at_least(total))
             self._readback_low_streak = 0
-            counts, packed = compact_readback(state.state, k)
+            scalars, packed = dense_readback(state.state, k, ncap)
+            mx, total = (int(v) for v in np.asarray(jax.device_get(scalars)))
         elif mx <= k // 2 and k > 1:
             self._readback_low_streak += 1
             if self._readback_low_streak >= 256:
@@ -574,8 +583,8 @@ class Simulator:
                 self._readback_low_streak = 0
         else:
             self._readback_low_streak = 0
-        counts_np2, fields = jax.device_get((counts, tuple(packed)))
-        live = assemble_buckets(np.asarray(counts_np2), ParticleState(*fields))
+        fields = jax.device_get(tuple(packed))
+        live = dense_to_particles(total, ParticleState(*fields))
         return Frame.from_particles(rec, live)
 
     @property

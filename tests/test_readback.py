@@ -1,17 +1,18 @@
 """Device-side readback compaction (ops/readback.py + the Simulator ticket
-path): the slot-slice readback must reproduce the full-grid host mask
+path): the dense-pack readback must reproduce the full-grid host mask
 byte-for-byte — outbound wire frames are a frozen contract
 (frontend.hpp:50-56 compaction semantics; CLAUDE.md wire invariants)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 
 from particle_simulator_tpu.engine.simulator import ReadbackTicket, Simulator
 from particle_simulator_tpu.engine.state import ParticleState, state_to_numpy
 from particle_simulator_tpu.ops.readback import (
-    assemble_buckets,
-    compact_readback,
+    dense_readback,
+    dense_to_particles,
     pow2_at_least,
 )
 from particle_simulator_tpu.scenes.library import _scene
@@ -20,7 +21,7 @@ from particle_simulator_tpu.scenes.library import _scene
 def _random_state(rng, shape, density):
     # Real grid states keep each bucket's live particles in ascending slots
     # (bucketize_numpy + all three rebucket passes — CLAUDE.md invariant);
-    # the slot-slice readback depends on it, so generate to the contract:
+    # the dense-pack readback depends on it, so generate to the contract:
     # a random count per bucket, occupying the slot prefix.
     by, bx, cap = shape
     cnt = rng.binomial(cap, density, (by, bx))
@@ -34,35 +35,66 @@ def _random_state(rng, shape, density):
     )
 
 
-@pytest.mark.parametrize("density", [0.0, 0.07, 0.5, 0.93, 1.0])
-def test_slot_slice_matches_host_mask(density):
-    rng = np.random.default_rng(int(density * 100))
-    shape = (8, 16, 8)
-    st = _random_state(rng, shape, density)
+def _check_dense(st, kcap=None, ncap=None):
+    """dense_readback against the host-mask ground truth; returns scalars."""
     ref = state_to_numpy(st)
     mask = ref["ty"] >= 0
     ref_counts = (np.asarray(st.ty) >= 0).sum(axis=-1)
+    total_ref = int(mask.sum())
 
-    kcap = pow2_at_least(int(ref_counts.max(initial=0)))
-    counts, sliced = compact_readback(st, kcap)
-    assert np.array_equal(np.asarray(counts), ref_counts)
-    live = assemble_buckets(counts, sliced)
+    kcap = pow2_at_least(int(ref_counts.max(initial=0))) if kcap is None else kcap
+    ncap = pow2_at_least(total_ref) if ncap is None else ncap
+    scalars, packed = dense_readback(st, kcap, ncap)
+    mx, total = (int(v) for v in np.asarray(scalars))
+    assert mx == int(ref_counts.max(initial=0))
+    assert total == total_ref
+    live = dense_to_particles(total, ParticleState(*jax.device_get(tuple(packed))))
     for f in ("x", "y", "vx", "vy", "ty"):
         assert np.array_equal(live[f], ref[f][mask]), f
-    # slots past each bucket's count are tombstoned in the slice
-    slot = np.arange(np.asarray(sliced.ty).shape[-1])[None, None, :]
-    assert (np.asarray(sliced.ty)[slot >= ref_counts[..., None]] == -1).all()
+    # the pad tail past ``total`` is tombstoned
+    assert (np.asarray(packed.ty)[total:] == -1).all()
+    return mx, total
 
 
-def test_counts_exact_even_when_kcap_overflows():
-    """kcap smaller than the fullest bucket: the slice truncates but counts
-    stay exact — that is what makes overflow detectable for the host retry."""
+@pytest.mark.parametrize("density", [0.0, 0.07, 0.5, 0.93, 1.0])
+def test_dense_pack_matches_host_mask(density):
+    rng = np.random.default_rng(int(density * 100))
+    _check_dense(_random_state(rng, (8, 16, 8), density))
+
+
+def test_dense_pack_empty_bucket_runs():
+    """Leading/trailing/interior runs of EMPTY buckets stack their start
+    marks on one offset — the bucket_of cumsum must still name the right
+    owner for every packed position."""
+    rng = np.random.default_rng(3)
+    st = _random_state(rng, (4, 8, 8), 0.6)
+    ty = np.asarray(st.ty).copy()
+    ty[0, :, :] = -1          # leading empty row
+    ty[-1, :, :] = -1         # trailing empty row
+    ty[2, 1:5, :] = -1        # interior empty run
+    st = st._replace(ty=jnp.asarray(ty))
+    _check_dense(st)
+
+
+def test_dense_pack_ncap_padding():
+    """ncap far above the live total: pack unaffected, tail tombstoned."""
+    rng = np.random.default_rng(11)
+    st = _random_state(rng, (4, 4, 8), 0.4)
+    total = int((np.asarray(st.ty) >= 0).sum())
+    _check_dense(st, ncap=pow2_at_least(total) * 4)
+
+
+def test_scalars_exact_even_when_kcap_overflows():
+    """kcap smaller than the fullest bucket: the pack is garbage but the
+    scalars stay exact — that is what makes overflow detectable for the
+    host retry."""
     rng = np.random.default_rng(7)
     st = _random_state(rng, (4, 8, 8), 0.9)
     ref_counts = (np.asarray(st.ty) >= 0).sum(axis=-1)
-    counts, sliced = compact_readback(st, 2)
-    assert np.array_equal(np.asarray(counts), ref_counts)
-    assert np.asarray(sliced.x).shape == (4, 8, 2)
+    scalars, packed = dense_readback(st, 2, pow2_at_least(int(ref_counts.sum())))
+    mx, total = (int(v) for v in np.asarray(scalars))
+    assert mx == int(ref_counts.max(initial=0)) and mx > 2
+    assert total == int(ref_counts.sum())
 
 
 def _frames_equal(a, b):
@@ -96,7 +128,7 @@ def test_simulator_fast_path_matches_slow_path():
 
 
 def test_simulator_kcap_overflow_grows_sticky_width():
-    """A scene whose buckets outgrow the seeded slice width still reads back
+    """A scene whose buckets outgrow the seeded prefix width still reads back
     exactly; the sticky kcap widens for subsequent frames."""
     frame = _scene(16, 16, distance_factor=1.1, speed=5.0, box_fill=0.4)
     sim = Simulator()
@@ -112,6 +144,25 @@ def test_simulator_kcap_overflow_grows_sticky_width():
     assert out.particle_count == len(ref)
     assert np.array_equal(out.particles, ref)
     assert sim._readback_k == seeded  # grew back to the true pow2 width
+
+
+def test_simulator_ncap_overflow_grows_sticky_length():
+    """Defensive path: a pack length smaller than the live total (cannot
+    happen between loads — physics only drops — but guarded) widens and
+    retries instead of truncating the wire frame."""
+    frame = _scene(16, 16, distance_factor=1.1, speed=5.0, box_fill=0.4)
+    sim = Simulator()
+    sim.force_device_readback = True
+    sim.load_frame(frame)
+    ref = sim._state_numpy(sim.state)
+    ref = ref[ref["ty"] >= 0]
+    seeded = sim._readback_ncap
+
+    sim._readback_ncap = max(1, seeded // 4)
+    out = sim.read_frame()
+    assert out.particle_count == len(ref)
+    assert np.array_equal(out.particles, ref)
+    assert sim._readback_ncap >= seeded
 
 
 def test_sticky_kcap_shrinks_after_sustained_low_occupancy():
@@ -130,7 +181,7 @@ def test_sticky_kcap_shrinks_after_sustained_low_occupancy():
 
 
 def test_compact_array_and_host_states_fall_back():
-    """CompactArray (1D) layouts never take the grid-slice fast path."""
+    """CompactArray (1D) layouts never take the grid-pack fast path."""
     from particle_simulator_tpu.io.frame import DataStructure
 
     frame = _scene(8, 8, distance_factor=1.2, speed=10.0, box_fill=0.5)
