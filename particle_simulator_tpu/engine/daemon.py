@@ -177,15 +177,19 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
     meter = StepMeter()
     queue: deque = deque()  # states awaiting shipment, oldest first
     shipped = 0
+    next_report = time.monotonic() + 30.0
 
     def ship(state=None, meta=None) -> None:
-        nonlocal shipped
+        nonlocal shipped, next_report
         frame = sim.read_frame(state, meta=meta)
         frontend.write(frame)
         shipped += 1
         meter.tick(frame.metadata.steps_per_frame, frame.particle_count)
-        if shipped % 64 == 0:
+        # every 64 frames, but at least every 30 s — big scenes ship well
+        # under 1 fps and would otherwise never surface their throughput
+        if shipped % 64 == 0 or time.monotonic() >= next_report:
             print(f"engine: {meter.report()}", file=sys.stderr)
+            next_report = time.monotonic() + 30.0
 
     def enqueue(ticket) -> None:
         # capture the metadata the state was computed under, so a live edit
