@@ -170,13 +170,40 @@ def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
     return run_frame_bucket(state, p, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows",))
+@functools.partial(jax.jit, static_argnames=("block_rows", "lane_chunks"))
 def _run_bucket_pallas(
-    state: ParticleState, p: SimParams, block_rows: int | None = None
+    state: ParticleState, p: SimParams, block_rows: int | None = None,
+    lane_chunks: int = 1,
 ) -> ParticleState:
     from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
 
-    return run_frame_bucket_pallas(state, p, block_rows=block_rows)
+    return run_frame_bucket_pallas(
+        state, p, block_rows=block_rows, lane_chunks=lane_chunks
+    )
+
+
+def _lane_chunks_for(occ: np.ndarray, grid: GridConfig) -> int:
+    """Pick the step kernel's lane-chunk count from the loaded scene's
+    spatial occupancy (ops/bucket_pallas.py ``lane_chunks``): the largest
+    valid split whose live-tile fraction leaves a worthwhile skip margin.
+    Wide grids whose live region doesn't span the box (editor-drawn scenes
+    fill ~25% of the area) skip the pair math of empty column chunks;
+    box-spanning scenes (the dense bench) stay on the unchunked kernel —
+    chunking costs an extra grid copy per step and only pays when tiles die."""
+    L = grid.bx * grid.cap
+    for c in (8, 4, 2):
+        w = L // c
+        if grid.bx % c or w % 128 or w < 1024:
+            continue
+        # 8-row tiles approximate the kernel's row blocks; a tile is live if
+        # any bucket in its (8 rows x bx/c cols) range is occupied
+        by8 = (grid.by + 7) // 8
+        pad_rows = by8 * 8 - grid.by
+        occ_p = np.pad(occ, ((0, pad_rows), (0, 0)))
+        tiles = occ_p.reshape(by8, 8, c, grid.bx // c).max(axis=(1, 3)) > 0
+        if tiles.mean() <= 0.75:
+            return c
+    return 1
 
 
 @jax.jit
@@ -224,6 +251,9 @@ class Simulator:
         self._readback_k = 8
         self._readback_ncap = 1
         self._readback_low_streak = 0
+        # step-kernel lane chunking (ops/bucket_pallas.py): chosen per scene
+        # load from spatial occupancy; 1 = the unchunked kernel
+        self._lane_chunks = 1
         self.force_device_readback = False
 
     # -- scene / metadata ingest (kernel_prepare_frame analog) -----------------
@@ -307,6 +337,9 @@ class Simulator:
             self._readback_k = pow2_at_least(int(occ.max(initial=0)))
             self._readback_ncap = pow2_at_least(len(live))
             self._readback_low_streak = 0
+            # lane-chunked step kernel for spatially sparse scenes (the
+            # column analog of the dead-row-block skip); static per load
+            self._lane_chunks = _lane_chunks_for(occ, g)
             state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
             if self.mesh is not None:
                 from particle_simulator_tpu.parallel.domain import (
@@ -428,7 +461,8 @@ class Simulator:
             # 2^7 = 128 threads <-> 8 bucket rows. Changing it recompiles once.
             k = int(self.meta_record["gpu_threads_per_block_log2"])
             self.state = _run_bucket_pallas(
-                self.state, self.params, block_rows=max(1, 1 << max(0, k - 4))
+                self.state, self.params, block_rows=max(1, 1 << max(0, k - 4)),
+                lane_chunks=self._lane_chunks,
             )
         else:
             self.state = _run_bucket(self.state, self.params)

@@ -123,20 +123,29 @@ def _step_kernel(
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
+    n_chunks: int = 1, pad: int = 0,
 ):
     # Whole-block liveness skip: a block whose every slot is a tombstone has
     # no receivers — every output select below would pick the old value — so
     # copy inputs through and skip all 3*(4*cap-1) pair passes. Spatially
     # sparse scenes (a droplet in a big box, the phase-sweep half-filled
-    # lattice) make this the common case.
-    block_live = flags_ref[pl.program_id(0)] != 0
+    # lattice) make this the common case. With lane chunking (n_chunks > 1)
+    # the flag is per (row-block, lane-chunk): inputs arrive pre-extended by
+    # ``pad`` tombstoned lanes each side (so cross-chunk candidates exist in
+    # VMEM) and outputs cover the interior only — empty COLUMNS of a sparse
+    # scene skip their pair math too, not just empty row stripes.
+    flag_idx = pl.program_id(0) * n_chunks + (
+        pl.program_id(1) if n_chunks > 1 else 0
+    )
+    block_live = flags_ref[flag_idx] != 0
+    w_out = ox_ref.shape[1]
 
     @pl.when(jnp.logical_not(block_live))
     def _dead_block():
-        ox_ref[:] = x_ref[:]
-        oy_ref[:] = y_ref[:]
-        ovx_ref[:] = vx_ref[:]
-        ovy_ref[:] = vy_ref[:]
+        ox_ref[:] = x_ref[:, pad : pad + w_out]
+        oy_ref[:] = y_ref[:, pad : pad + w_out]
+        ovx_ref[:] = vx_ref[:, pad : pad + w_out]
+        ovy_ref[:] = vy_ref[:, pad : pad + w_out]
 
     @pl.when(block_live)
     def _live_block():
@@ -144,6 +153,7 @@ def _step_kernel(
             params_ref, x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
             badmask_ref, ox_ref, oy_ref, ovx_ref, ovy_ref, fx_acc, fy_acc,
             ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes,
+            pad=pad,
         )
 
 
@@ -153,6 +163,7 @@ def _step_block(
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
+    pad: int = 0,
 ):
     x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
     L = x0.shape[1]
@@ -370,10 +381,13 @@ def _step_block(
     nx = x0 + jax.lax.bitcast_convert_type(ddx.astype(jnp.int32), jnp.uint32)
     ny = y0 + jax.lax.bitcast_convert_type(ddy.astype(jnp.int32), jnp.uint32)
 
-    ox_ref[:] = jnp.where(live_i, nx, x0)
-    oy_ref[:] = jnp.where(live_i, ny, y0)
-    ovx_ref[:] = jnp.where(live_i, nvx, vx0)
-    ovy_ref[:] = jnp.where(live_i, nvy, vy0)
+    # lane-chunked blocks compute on the pad-extended width; outputs cover
+    # the interior only (pad == 0 -> the slice is the whole width)
+    w_out = ox_ref.shape[1]
+    ox_ref[:] = jnp.where(live_i, nx, x0)[:, pad : pad + w_out]
+    oy_ref[:] = jnp.where(live_i, ny, y0)[:, pad : pad + w_out]
+    ovx_ref[:] = jnp.where(live_i, nvx, vx0)[:, pad : pad + w_out]
+    ovy_ref[:] = jnp.where(live_i, nvy, vy0)[:, pad : pad + w_out]
 
 
 def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
@@ -397,7 +411,8 @@ def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("interpret", "block_rows", "dynamic_passes")
+    jax.jit,
+    static_argnames=("interpret", "block_rows", "dynamic_passes", "lane_chunks"),
 )
 def bucket_step_pallas(
     state: ParticleState,
@@ -406,11 +421,26 @@ def bucket_step_pallas(
     block_rows: int | None = None,
     edge_rows: tuple[ParticleState, ParticleState] | None = None,
     dynamic_passes: bool | None = None,
+    lane_chunks: int = 1,
 ) -> ParticleState:
     """One bucket-path physics step, Pallas TPU kernel. Drop-in replacement for
     physics.bucket.bucket_step (same candidate set; f32 rounding may differ by
     summation order). ``block_rows`` tunes the launch width (the
     gpu_threads_per_block_log2 analog); changing it recompiles.
+
+    ``lane_chunks`` = C > 1 splits the lane axis into C chunks and makes the
+    chunk a second pallas grid dimension with its own receiver-liveness flag:
+    inputs are pre-extended with ``pad`` lanes each side (cross-chunk pair
+    candidates, tombstoned at the true grid ends) so each (row-block, chunk)
+    program is self-contained, and a chunk whose interior holds no live
+    receiver skips all pair math — the column analog of the whole-block row
+    skip, for spatially sparse scenes whose live region doesn't span the box
+    (e.g. an editor-drawn lattice filling a quarter of the area). Pass order
+    per receiver lane is unchanged, so outputs stay bit-identical to the
+    unchunked kernel. Per-step overhead: one extra grid copy to materialize
+    the extended inputs (~(1 + 2*pad/W)x reads), so C > 1 only pays off when
+    a meaningful fraction of chunks is empty — the caller decides
+    (engine/simulator.py picks it from scene occupancy at load).
 
     ``edge_rows`` = ((1, BX, CAP) top, (1, BX, CAP) bottom) external neighbor
     rows for the sharded path (parallel/domain.py): the shard's y-halo rides
@@ -442,13 +472,20 @@ def bucket_step_pallas(
             omax, jnp.maximum(top_slot(edge_rows[0].ty), top_slot(edge_rows[1].ty))
         )
     params = jnp.concatenate([_params_vector(p), omax.astype(F32)[None]])
-    # per-block any-live flags (receivers only: a block of tombstones writes
-    # pass-through outputs regardless of its neighbors)
+    C = int(lane_chunks)
+    if C > 1 and (bx % C or (L // C) % 128):
+        raise ValueError(
+            f"lane_chunks={C} must divide bx={bx} with a 128-multiple chunk "
+            f"width (got {L // C})"
+        )
+    W = L // C
+    # per-(row-block, lane-chunk) any-live flags (receivers only: a block of
+    # tombstones writes pass-through outputs regardless of its neighbors)
     flags = (
-        flat(state.ty).reshape(n_blocks, ty_rows * L).max(axis=1) >= 0
-    ).astype(jnp.int32)
-
-    spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        (flat(state.ty).reshape(n_blocks, ty_rows, C, W).max(axis=(1, 3)) >= 0)
+        .reshape(-1)
+        .astype(jnp.int32)
+    )
 
     if edge_rows is None:
 
@@ -488,10 +525,6 @@ def bucket_step_pallas(
             jax.lax.bitcast_convert_type(top.ty, jnp.uint32),
             jax.lax.bitcast_convert_type(bottom.ty, jnp.uint32),
         )
-    zero = jnp.zeros_like(xa)
-    # (n_blocks, 8, L): [xa, xb, ya, yb, tya, tyb, 0, 0] per block
-    halo = jnp.stack([xa, xb, ya, yb, tya, tyb, zero, zero], axis=1).reshape(n_blocks * 8, L)
-    halo_spec = pl.BlockSpec((8, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     if dynamic_passes is None:
         # Dense grids (cap >= 16) pay ~10x the Mosaic compile time of cap 8
         # with the fully unrolled pass pipeline (569 s vs 54 s at 64x64 over
@@ -503,15 +536,39 @@ def bucket_step_pallas(
         # sparse scenes to cap 8, which is where the engine actually lands.
         dynamic_passes = False
 
+    # pad-extend a (rows, L) array to (rows, C*We): chunk c's slice holds the
+    # true lanes [c*W - pad, c*W + W + pad) with ``fill`` (tombstones for ty)
+    # past the grid ends — every chunk program's pair candidates live in its
+    # own block, no cross-block lane access needed
+    pad = 0 if C == 1 else max(128, 2 * cap)
+    We = W + 2 * pad
+
+    def ext(a2d, fill):
+        if C == 1:
+            return a2d
+        p = jnp.full((a2d.shape[0], pad), fill, a2d.dtype)
+        padded = jnp.concatenate([p, a2d, p], axis=1)
+        return jnp.concatenate(
+            [padded[:, c * W : c * W + We] for c in range(C)], axis=1
+        )
+
+    dead_u32 = jnp.uint32(0xFFFFFFFF)  # bitcast(-1)
+    zero = jnp.zeros((n_blocks, C * We), xa.dtype)
+    # (n_blocks, 8, C*We): [xa, xb, ya, yb, tya, tyb, 0, 0] per block
+    halo = jnp.stack(
+        [
+            ext(xa, 0), ext(xb, 0), ext(ya, 0), ext(yb, 0),
+            ext(tya, dead_u32), ext(tyb, dead_u32), zero, zero,
+        ],
+        axis=1,
+    ).reshape(n_blocks * 8, C * We)
+
     # the dynamic-pass kernel computes lane validity arithmetically and never
-    # reads the table: ship a minimal stub instead of 4*cap x L of VMEM
+    # reads the table: ship a minimal stub instead of 4*cap x We of VMEM
     if dynamic_passes:
-        badmask = jnp.zeros((8, L), jnp.int32)
+        badmask = jnp.zeros((8, We), jnp.int32)
     else:
-        badmask = jnp.asarray(_lane_bad_table(cap, L))
-    badmask_spec = pl.BlockSpec(
-        (badmask.shape[0], L), lambda i: (0, 0), memory_space=pltpu.VMEM
-    )
+        badmask = jnp.asarray(_lane_bad_table(cap, We))
 
     out_shape = [
         jax.ShapeDtypeStruct((by, L), jnp.uint32),
@@ -519,26 +576,42 @@ def bucket_step_pallas(
         jax.ShapeDtypeStruct((by, L), jnp.float32),
         jax.ShapeDtypeStruct((by, L), jnp.float32),
     ]
-    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    if C == 1:
+        grid = (n_blocks,)
+        in_map, halo_map, const_map = (
+            lambda i: (i, 0), lambda i: (i, 0), lambda i: (0, 0))
+        out_map = lambda i: (i, 0)
+    else:
+        grid = (n_blocks, C)
+        in_map, halo_map, const_map = (
+            lambda i, c: (i, c), lambda i, c: (i, c), lambda i, c: (0, 0))
+        out_map = lambda i, c: (i, c)
+    in_spec = pl.BlockSpec((ty_rows, We), in_map, memory_space=pltpu.VMEM)
+    halo_spec = pl.BlockSpec((8, We), halo_map, memory_space=pltpu.VMEM)
+    badmask_spec = pl.BlockSpec(
+        (badmask.shape[0], We), const_map, memory_space=pltpu.VMEM
+    )
+    out_spec = pl.BlockSpec((ty_rows, W), out_map, memory_space=pltpu.VMEM)
 
     kernel = functools.partial(
-        _step_kernel, ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes
+        _step_kernel, ty_rows=ty_rows, by=by, cap=cap,
+        dynamic_passes=dynamic_passes, n_chunks=C, pad=pad,
     )
     nx, ny, nvx, nvy = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # params (+ omax)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-block liveness flags
-            spec(), spec(), spec(), spec(), spec(),  # x, y, ty, vx, vy
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-(block, chunk) liveness
+            in_spec, in_spec, in_spec, in_spec, in_spec,  # x, y, ty, vx, vy
             halo_spec,  # packed neighbor rows
             badmask_spec,  # static lane-validity table
         ],
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((ty_rows, L), jnp.float32),
-            pltpu.VMEM((ty_rows, L), jnp.float32),
+            pltpu.VMEM((ty_rows, We), jnp.float32),
+            pltpu.VMEM((ty_rows, We), jnp.float32),
         ],
         # the unrolled pass pipeline legitimately holds ~20 MB of stack at
         # wide rows (L = 8192, the 4M-particle grid); the 16 MB scoped
@@ -548,8 +621,9 @@ def bucket_step_pallas(
     )(
         params,
         flags,
-        flat(state.x), flat(state.y), flat(state.ty),
-        flat(state.vx), flat(state.vy),
+        ext(flat(state.x), 0), ext(flat(state.y), 0),
+        ext(flat(state.ty), -1),
+        ext(flat(state.vx), 0), ext(flat(state.vy), 0),
         halo,
         badmask,
     )
@@ -874,6 +948,7 @@ def run_frame_bucket_pallas(
     move_every: int = 16,
     interpret: bool = False,
     block_rows: int | None = None,
+    lane_chunks: int = 1,
 ) -> ParticleState:
     """Whole-frame runner: Pallas step kernel + Pallas rebucket pass on the
     reference cadence (every 16th step). The pull-place move kernel is
@@ -893,7 +968,10 @@ def run_frame_bucket_pallas(
         return bucket_move_pallas(s, interpret=interpret)
 
     def step(s):
-        return bucket_step_pallas(s, p, interpret=interpret, block_rows=block_rows)
+        return bucket_step_pallas(
+            s, p, interpret=interpret, block_rows=block_rows,
+            lane_chunks=lane_chunks,
+        )
 
     from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
 

@@ -423,3 +423,106 @@ def test_bucket_pallas_calls_set_vmem_limit():
             f"pallas_call at bucket_pallas.py:{line} does not set "
             "compiler_params=CompilerParams(vmem_limit_bytes=...)"
         )
+
+
+def test_pallas_step_lane_chunks_bit_identical():
+    """The lane-chunked step kernel (chunk = second grid dim + pre-extended
+    inputs, ops/bucket_pallas.py ``lane_chunks``) must be BIT-identical to
+    the unchunked kernel: per-receiver pass order is unchanged, chunking only
+    gates which tiles compute. Covers quarter-box sparsity (dead column
+    chunks), full-random occupancy, cap 16, the 16-row block path, and the
+    dynamic-pass variant."""
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE, default_metadata
+
+    meta = default_metadata()
+    meta["step_dt"] = 10e-15
+    p = SimParams.from_record(meta)
+
+    def rand_state(cfg, seed, quarter):
+        rng = np.random.default_rng(seed)
+        n = cfg.capacity
+        parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+        parts["x"] = rng.integers(0, 2**32, n, dtype=np.uint32)
+        parts["y"] = rng.integers(0, 2**32, n, dtype=np.uint32)
+        parts["vx"] = rng.normal(0, 50, n).astype(np.float32)
+        parts["vy"] = rng.normal(0, 50, n).astype(np.float32)
+        parts["ty"] = np.where(rng.random(n) < 0.5, 0, -1)
+        if quarter:  # live region spans only the upper-left quarter
+            g = parts["ty"].reshape(cfg.by, cfg.bx, cfg.cap)
+            g[:, cfg.bx // 2 :, :] = -1
+            g[cfg.by // 2 :, :, :] = -1
+        return state_to_grid(state_from_numpy(parts, cfg.capacity), cfg)
+
+    cases = [
+        (GridConfig(5, 4, 8), 2, True),   # L=256 quarter-box
+        (GridConfig(5, 4, 8), 2, False),  # box-spanning random
+        (GridConfig(6, 4, 16), 4, True),  # cap 16
+        (GridConfig(6, 5, 8), 4, False),  # by=32: 16-row block path
+    ]
+    for cfg, chunks, quarter in cases:
+        st = rand_state(cfg, 1, quarter)
+        ref = jax.tree.map(np.asarray, bucket_step_pallas(st, p, interpret=True))
+        got = jax.tree.map(
+            np.asarray,
+            bucket_step_pallas(st, p, interpret=True, lane_chunks=chunks),
+        )
+        for f in st._fields:
+            np.testing.assert_array_equal(
+                getattr(ref, f), getattr(got, f),
+                err_msg=f"{cfg} chunks={chunks} quarter={quarter} field={f}",
+            )
+        refd = jax.tree.map(
+            np.asarray,
+            bucket_step_pallas(st, p, interpret=True, dynamic_passes=True),
+        )
+        gotd = jax.tree.map(
+            np.asarray,
+            bucket_step_pallas(
+                st, p, interpret=True, dynamic_passes=True, lane_chunks=chunks
+            ),
+        )
+        for f in st._fields:
+            np.testing.assert_array_equal(
+                getattr(refd, f), getattr(gotd, f),
+                err_msg=f"dynamic {cfg} chunks={chunks} field={f}",
+            )
+
+
+def test_pallas_frame_runner_lane_chunks_bit_identical():
+    """Whole-frame runner (steps + rebucket cadence) with lane chunking ==
+    without, across a multi-chunk schedule."""
+    cfg = GridConfig(5, 4, 8, move_every=4)
+    state, p = scene(cfg, nx=14, ny=14)
+    p = p._replace(steps_per_frame=np.int32(10))
+    ref = jax.tree.map(np.asarray, run_frame_bucket_pallas(state, p, move_every=4, interpret=True))
+    got = jax.tree.map(
+        np.asarray,
+        run_frame_bucket_pallas(state, p, move_every=4, interpret=True, lane_chunks=2),
+    )
+    for f in state._fields:
+        np.testing.assert_array_equal(getattr(ref, f), getattr(got, f), err_msg=f)
+
+
+def test_pallas_step_lane_chunks_rejects_bad_split():
+    state, p = scene(GridConfig(5, 4, 8), nx=8, ny=8)
+    with pytest.raises(ValueError):
+        bucket_step_pallas(state, p, interpret=True, lane_chunks=3)
+
+
+def test_simulator_picks_lane_chunks_from_occupancy():
+    """The engine chooses lane chunking for spatially sparse wide grids and
+    leaves box-spanning or narrow grids unchunked."""
+    from particle_simulator_tpu.engine.simulator import _lane_chunks_for
+
+    wide = GridConfig(10, 10, 16)  # L = 16384 (the 1M editor-drawn grid)
+    occ = np.zeros((wide.by, wide.bx), np.int64)
+    occ[: wide.by // 2, : wide.bx // 2] = 6  # quarter-box lattice
+    assert _lane_chunks_for(occ, wide) == 8
+
+    occ_full = np.full((wide.by, wide.bx), 6, np.int64)  # box-spanning
+    assert _lane_chunks_for(occ_full, wide) == 1
+
+    narrow = GridConfig(6, 6, 8)  # L = 512: never worth chunking
+    occ_n = np.zeros((narrow.by, narrow.bx), np.int64)
+    occ_n[:8, :8] = 4
+    assert _lane_chunks_for(occ_n, narrow) == 1
