@@ -315,6 +315,9 @@ def bench_user_scene(args) -> int:
                 "readback_k": sim._readback_k,
                 "readback_ncap": sim._readback_ncap,
                 "grid": [g.by, g.bx, g.cap],
+                # column-chunk skip factor chosen from scene occupancy
+                # (ops/bucket_pallas.py lane_chunks); 1 = unchunked kernel
+                "lane_chunks": sim._lane_chunks,
                 "device": str(jax.devices()[0].platform),
             }
         )

@@ -188,7 +188,13 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
         # every 64 frames, but at least every 30 s — big scenes ship well
         # under 1 fps and would otherwise never surface their throughput
         if shipped % 64 == 0 or time.monotonic() >= next_report:
-            print(f"engine: {meter.report()}", file=sys.stderr)
+            # surface the progressive-compile state so throughput lines are
+            # attributable to the kernel that produced them
+            interim = sim.progressive_compile and any(
+                v == "compiling" for v in sim._pallas_status.values()
+            )
+            suffix = " [interim jnp kernel; pallas compiling]" if interim else ""
+            print(f"engine: {meter.report()}{suffix}", file=sys.stderr)
             next_report = time.monotonic() + 30.0
 
     def enqueue(ticket) -> None:
@@ -246,7 +252,8 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
 
 def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0,
           n_devices: int | str | None = None, record: str | None = None,
-          native_io: bool = False, readback_depth: int = 1) -> int:
+          native_io: bool = False, readback_depth: int = 1,
+          progressive_compile: bool = False) -> int:
     from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
 
     import jax
@@ -260,6 +267,7 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
         mesh = make_mesh(n_devices=n_devices)
         print(f"engine: sharding over a {mesh.devices.shape} device mesh", file=sys.stderr)
     sim = Simulator(grid or REFERENCE_GRID, mesh=mesh)
+    sim.progressive_compile = progressive_compile
 
     multiproc = jax.process_count() > 1
     if multiproc and (not mesh or {
@@ -368,6 +376,15 @@ def main(argv=None) -> int:
                          "$PS_TPU_COMPILE_CACHE or ~/.cache/"
                          "particle_simulator_tpu/jax_cache; '' disables) — "
                          "warm restarts skip the multi-minute Mosaic compiles")
+    ap.add_argument("--progressive-compile", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="serve never-before-compiled grid shapes through the "
+                         "fast-compiling XLA-jnp runner while the Pallas "
+                         "kernel compiles in the background, then switch "
+                         "(frames flow immediately instead of stalling "
+                         "minutes on a cold Mosaic compile; the switch is a "
+                         "f32 summation-order change, like the reference's "
+                         "live device switch)")
     args = ap.parse_args(argv)
 
     from particle_simulator_tpu.utils.compile_cache import enable_compilation_cache
@@ -379,6 +396,7 @@ def main(argv=None) -> int:
     if args.files:
         frontend = Frontend.open_files(f"{args.files}/backend_in.bin", f"{args.files}/backend_out.bin")
         sim = Simulator()
+        sim.progressive_compile = args.progressive_compile
         while frontend.is_connected:
             frame = frontend.read()
             if frame is not None and frame.particle_count > 0:
@@ -392,7 +410,8 @@ def main(argv=None) -> int:
     devices = args.devices if args.devices in (None, "all") else int(args.devices)
     serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s,
           n_devices=devices, record=args.record, native_io=args.native_io,
-          readback_depth=args.readback_pipeline)
+          readback_depth=args.readback_pipeline,
+          progressive_compile=args.progressive_compile)
     return 0
 
 

@@ -254,6 +254,19 @@ class Simulator:
         # step-kernel lane chunking (ops/bucket_pallas.py): chosen per scene
         # load from spatial occupancy; 1 = the unchunked kernel
         self._lane_chunks = 1
+        # Progressive kernel compile: a grid shape whose Pallas program has
+        # never compiled on this machine costs minutes of Mosaic compile
+        # (~570 s for a cap-16 grid over the dev tunnel; the persistent
+        # cache only helps RE-runs). With this on, frame_async serves such
+        # shapes through the XLA-jnp frame runner on the accelerator
+        # (compiles in seconds, runs ~3x slower) while a daemon thread
+        # compiles the Pallas program, then switches over — frames flow from
+        # the first dispatch. The switch changes f32 summation order, the
+        # same rounding-level divergence as the reference's own live device
+        # switch (kernel.cuh:139-151). Off by default so bench/test runs
+        # measure one kernel; the daemon turns it on (--progressive-compile).
+        self.progressive_compile = False
+        self._pallas_status: dict = {}  # key -> "compiling" | "ok" | "failed"
         self.force_device_readback = False
 
     # -- scene / metadata ingest (kernel_prepare_frame analog) -----------------
@@ -460,10 +473,16 @@ class Simulator:
             # tunable, kernel_bucket.cuh:118-121) maps to kernel rows/block:
             # 2^7 = 128 threads <-> 8 bucket rows. Changing it recompiles once.
             k = int(self.meta_record["gpu_threads_per_block_log2"])
-            self.state = _run_bucket_pallas(
-                self.state, self.params, block_rows=max(1, 1 << max(0, k - 4)),
-                lane_chunks=self._lane_chunks,
-            )
+            block_rows = max(1, 1 << max(0, k - 4))
+            if self.progressive_compile and not self._pallas_warm(block_rows):
+                # cold shape: same step math via the XLA-jnp runner while the
+                # Pallas program compiles in the background (see __init__)
+                self.state = _run_bucket(self.state, self.params)
+            else:
+                self.state = _run_bucket_pallas(
+                    self.state, self.params, block_rows=block_rows,
+                    lane_chunks=self._lane_chunks,
+                )
         else:
             self.state = _run_bucket(self.state, self.params)
         self.state_is_dispatched = True
@@ -471,6 +490,62 @@ class Simulator:
     def sync(self) -> None:
         if self.state is not None:
             jax.block_until_ready(self.state)
+
+    # -- progressive Pallas compile (see __init__ for the rationale) -----------
+    def _pallas_warm(self, block_rows: int) -> bool:
+        """True once the Pallas frame program for the CURRENT (grid,
+        block_rows, lane_chunks) signature is compiled and safe to call
+        without stalling the loop. First call for a cold signature spawns
+        the compile thread and returns False; a failed compile (e.g. VMEM
+        overflow at an extreme grid) pins the signature to the jnp runner."""
+        key = (self.grid, block_rows, self._lane_chunks)
+        status = self._pallas_status.get(key)
+        if status == "ok":
+            return True
+        if status is None:
+            import threading
+
+            self._pallas_status[key] = "compiling"
+            threading.Thread(
+                target=self._compile_pallas,
+                args=(key, self.params),
+                daemon=True,
+                name="pallas-compile",
+            ).start()
+        return False
+
+    def _compile_pallas(self, key, params: SimParams) -> None:
+        """Background thread: compile (and once-execute, to also warm the
+        XLA executable cache) the Pallas frame program on a tombstone-only
+        dummy state of the target shape. jit compilation is thread-safe and
+        the dummy dispatch just interleaves with the main loop's work on the
+        same client (the warm-start thread uses the same pattern)."""
+        grid, block_rows, lane_chunks = key
+        try:
+            from particle_simulator_tpu.engine.state import empty_state
+
+            dummy = jax.device_put(empty_state(grid.grid_shape), self.accel)
+            out = _run_bucket_pallas(
+                dummy, params, block_rows=block_rows, lane_chunks=lane_chunks
+            )
+            jax.block_until_ready(out)
+            self._pallas_status[key] = "ok"
+            import sys
+
+            print(
+                f"engine: pallas kernel ready for grid {grid.bx}x{grid.by}x"
+                f"{grid.cap} — switching off the interim jnp runner",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover - depends on device limits
+            self._pallas_status[key] = "failed"
+            import sys
+
+            print(
+                f"engine: pallas compile failed for grid {grid.bx}x{grid.by}x"
+                f"{grid.cap} ({type(e).__name__}); staying on the jnp runner",
+                file=sys.stderr,
+            )
 
     def warm_default_grid(self) -> None:
         """Pre-compile the frame runner for the DEFAULT editor scene's grid so

@@ -635,6 +635,7 @@ def bucket_step_pallas(
 
 
 def _place_kernel(
+    flags_ref,
     xm_ref, x_ref, xp_ref,
     ym_ref, y_ref, yp_ref,
     tym_ref, ty_ref, typ_ref,
@@ -650,20 +651,16 @@ def _place_kernel(
     candidate instead of an XLA scatter (which costs ~30 ms at 1M). The
     match key is the packed global destination slot id (row*L + lane), so a
     pass costs ONE compare instead of recomputing target buckets from the
-    rolled coordinates."""
+    rolled coordinates.
+
+    ``flags_ref[p]`` is the block's SOURCE liveness: any live particle in
+    the block's rows OR the single adjacent row each side (the only rows a
+    <=1-bucket move can pull from). A dead neighborhood can't match any
+    output slot, so the all-tombstone init below IS the exact result and
+    every pull pass is skipped — the move-pass analog of the step kernel's
+    dead-block skip, for spatially sparse scenes."""
     p_id = pl.program_id(0)
     L = x_ref.shape[1]
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
-    my_by = p_id.astype(jnp.int32) * ty_rows + row_iota  # global bucket row
-    my_id = my_by * L + lane  # global flat slot id (C-order, = dest encoding)
-
-    def above(a_m, a):
-        return jnp.concatenate([a_m[ty_rows - 1 :], a[: ty_rows - 1]], axis=0)
-
-    def below(a, a_p):
-        return jnp.concatenate([a[1:], a_p[:1]], axis=0)
 
     # start from an all-tombstone layout; accumulate THROUGH the output refs
     # (value-carried accumulators keep hundreds of pass intermediates live and
@@ -674,45 +671,58 @@ def _place_kernel(
     ovy_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
     oty_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
 
-    fields0 = (x_ref[:], y_ref[:], ty_ref[:], vx_ref[:], vy_ref[:], id_ref[:])
-    fields_m = (xm_ref[:], ym_ref[:], tym_ref[:], vxm_ref[:], vym_ref[:], idm_ref[:])
-    fields_p = (xp_ref[:], yp_ref[:], typ_ref[:], vxp_ref[:], vyp_ref[:], idp_ref[:])
+    @pl.when(flags_ref[p_id] != 0)
+    def _live_block():
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
+        my_by = p_id.astype(jnp.int32) * ty_rows + row_iota  # global bucket row
+        my_id = my_by * L + lane  # global flat slot id (C-order, = dest encoding)
 
-    for dy in (-1, 0, 1):
-        if dy == -1:
-            cx, cy, cty, cvx, cvy, crk = (above(m, c) for m, c in zip(fields_m, fields0))
-        elif dy == 0:
-            cx, cy, cty, cvx, cvy, crk = fields0
-        else:
-            cx, cy, cty, cvx, cvy, crk = (below(c, p) for c, p in zip(fields0, fields_p))
-        row_ok = jnp.logical_and(my_by + dy >= 0, my_by + dy < by)
-        # one roll per pass: stack the six 32-bit fields along sublanes
-        stacked = jnp.concatenate(
-            [
-                cx, cy,
-                jax.lax.bitcast_convert_type(cty, jnp.uint32),
-                jax.lax.bitcast_convert_type(cvx, jnp.uint32),
-                jax.lax.bitcast_convert_type(cvy, jnp.uint32),
-                jax.lax.bitcast_convert_type(crk, jnp.uint32),
-            ],
-            axis=0,
-        )
-        for t in range(-(2 * cap - 1), 2 * cap):
-            rolled = _roll_lanes(stacked, t)
-            jx = rolled[:ty_rows]
-            jy = rolled[ty_rows : 2 * ty_rows]
-            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
-            jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
-            jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
-            jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+        def above(a_m, a):
+            return jnp.concatenate([a_m[ty_rows - 1 :], a[: ty_rows - 1]], axis=0)
 
-            # destid encodes keep: dropped = -1, never equal to any my_id
-            match = row_ok & (jid == my_id)
-            ox_ref[:] = jnp.where(match, jx, ox_ref[:])
-            oy_ref[:] = jnp.where(match, jy, oy_ref[:])
-            ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
-            ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
-            oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+        def below(a, a_p):
+            return jnp.concatenate([a[1:], a_p[:1]], axis=0)
+
+        fields0 = (x_ref[:], y_ref[:], ty_ref[:], vx_ref[:], vy_ref[:], id_ref[:])
+        fields_m = (xm_ref[:], ym_ref[:], tym_ref[:], vxm_ref[:], vym_ref[:], idm_ref[:])
+        fields_p = (xp_ref[:], yp_ref[:], typ_ref[:], vxp_ref[:], vyp_ref[:], idp_ref[:])
+
+        for dy in (-1, 0, 1):
+            if dy == -1:
+                cx, cy, cty, cvx, cvy, crk = (above(m, c) for m, c in zip(fields_m, fields0))
+            elif dy == 0:
+                cx, cy, cty, cvx, cvy, crk = fields0
+            else:
+                cx, cy, cty, cvx, cvy, crk = (below(c, p) for c, p in zip(fields0, fields_p))
+            row_ok = jnp.logical_and(my_by + dy >= 0, my_by + dy < by)
+            # one roll per pass: stack the six 32-bit fields along sublanes
+            stacked = jnp.concatenate(
+                [
+                    cx, cy,
+                    jax.lax.bitcast_convert_type(cty, jnp.uint32),
+                    jax.lax.bitcast_convert_type(cvx, jnp.uint32),
+                    jax.lax.bitcast_convert_type(cvy, jnp.uint32),
+                    jax.lax.bitcast_convert_type(crk, jnp.uint32),
+                ],
+                axis=0,
+            )
+            for t in range(-(2 * cap - 1), 2 * cap):
+                rolled = _roll_lanes(stacked, t)
+                jx = rolled[:ty_rows]
+                jy = rolled[ty_rows : 2 * ty_rows]
+                jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
+                jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
+                jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
+                jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+
+                # destid encodes keep: dropped = -1, never equal to any my_id
+                match = row_ok & (jid == my_id)
+                ox_ref[:] = jnp.where(match, jx, ox_ref[:])
+                oy_ref[:] = jnp.where(match, jy, oy_ref[:])
+                ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
+                ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
+                oty_ref[:] = jnp.where(match, jty, oty_ref[:])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -736,6 +746,16 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
     def flat(a):
         return a.reshape(by, L)
 
+    # per-block SOURCE liveness: the block's own rows plus the one adjacent
+    # row each side (all a <=1-bucket move can pull from). Dead neighborhood
+    # -> the kernel's tombstone init is the exact result (_place_kernel)
+    live_row = (flat(state.ty) >= 0).any(axis=1).reshape(n_blocks, ty_rows)
+    blk_any = live_row.any(axis=1)
+    false1 = jnp.zeros((1,), bool)
+    prev_last = jnp.concatenate([false1, live_row[:-1, -1]])
+    next_first = jnp.concatenate([live_row[1:, 0], false1])
+    flags = (blk_any | prev_last | next_first).astype(jnp.int32)
+
     def spec(offset):
         if offset == 0:
             return pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -753,7 +773,8 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
     nx, ny, nvx, nvy, nty = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[spec(o) for _ in range(6) for o in (-1, 0, +1)],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [spec(o) for _ in range(6) for o in (-1, 0, +1)],
         out_specs=[out_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((by, L), jnp.uint32),
@@ -768,6 +789,7 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
+        flags,
         *triplet(state.x), *triplet(state.y), *triplet(state.ty),
         *triplet(state.vx), *triplet(state.vy), *triplet(destid),
     )

@@ -541,3 +541,96 @@ def test_compilation_cache_persists_executables(tmp_path):
     )
 
     assert enable_compilation_cache("") is None
+
+
+def test_progressive_compile_serves_jnp_then_switches(monkeypatch):
+    """Progressive kernel compile (engine/simulator.py _pallas_warm): a cold
+    grid shape is served through the jnp runner while the Pallas program
+    compiles on a background thread, then frame_async switches over. The
+    Pallas entry point is stubbed with a gate so the compile window is
+    deterministic."""
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+    from particle_simulator_tpu.io.frame import Device
+
+    gate = threading.Event()
+    calls = []
+
+    def fake_pallas(state, params, block_rows=None, lane_chunks=1):
+        calls.append((block_rows, lane_chunks))
+        assert gate.wait(30.0), "test gate never released"
+        return sim_mod._run_bucket(state, params)
+
+    monkeypatch.setattr(sim_mod, "_run_bucket_pallas", fake_pallas)
+
+    sim = Simulator(GridConfig(4, 4, 8))
+    # force the accelerator branch onto the CPU device so the GPU path runs
+    sim.accel = jax.devices("cpu")[0]
+    sim.progressive_compile = True
+    sim.load_frame(scene_frame(n=6, steps=3))
+    assert sim.active_device == Device.GPU
+
+    # frame 1: cold shape -> compile thread spawned (blocked on the gate),
+    # frame served by the jnp runner (the stub records no synchronous call)
+    sim.frame_async()
+    key = next(iter(sim._pallas_status))
+    assert sim._pallas_status[key] == "compiling"
+    # the compile call happens on the background thread — wait for it to
+    # actually be scheduled (under full-suite load that can lag)
+    deadline = time.monotonic() + 30.0
+    while len(calls) < 1 and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert len(calls) == 1  # the background thread's compile call only
+    before = sim.read_frame()
+    assert before.particle_count > 0
+
+    # frame 2: still compiling -> jnp again, no second compile thread
+    sim.frame_async()
+    assert len(calls) == 1
+    assert sim._pallas_status[key] == "compiling"
+
+    # release the compile; wait for the status flip
+    gate.set()
+    deadline = time.monotonic() + 30.0
+    while sim._pallas_status[key] != "ok" and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert sim._pallas_status[key] == "ok"
+
+    # frame 3: switched over — the Pallas entry point now runs synchronously
+    sim.frame_async()
+    assert len(calls) == 2
+    after = sim.read_frame()
+    assert np.isfinite(after.particles["vx"]).all()
+
+
+def test_progressive_compile_failure_pins_jnp(monkeypatch):
+    """A failed Pallas compile (device limits, etc.) must pin the signature
+    to the jnp runner — no retry storm, no crash."""
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+
+    def broken_pallas(state, params, block_rows=None, lane_chunks=1):
+        raise RuntimeError("mosaic says no")
+
+    monkeypatch.setattr(sim_mod, "_run_bucket_pallas", broken_pallas)
+
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.accel = jax.devices("cpu")[0]
+    sim.progressive_compile = True
+    sim.load_frame(scene_frame(n=6, steps=3))
+
+    sim.frame_async()
+    key = next(iter(sim._pallas_status))
+    deadline = time.monotonic() + 30.0
+    while sim._pallas_status[key] == "compiling" and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert sim._pallas_status[key] == "failed"
+
+    # frames keep flowing on the jnp runner; the status stays pinned
+    for _ in range(3):
+        sim.frame_async()
+    assert sim._pallas_status[key] == "failed"
+    out = sim.read_frame()
+    assert np.isfinite(out.particles["vx"]).all()

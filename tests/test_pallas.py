@@ -526,3 +526,38 @@ def test_simulator_picks_lane_chunks_from_occupancy():
     occ_n = np.zeros((narrow.by, narrow.bx), np.int64)
     occ_n[:8, :8] = 4
     assert _lane_chunks_for(occ_n, narrow) == 1
+
+
+def test_pallas_move_dead_block_skip_bit_identical():
+    """The move pass's dead-neighborhood skip (_place_kernel flags): a scene
+    confined to a few bucket rows leaves whole output blocks with no live
+    source in their 3-row neighborhood — those blocks must produce the exact
+    all-tombstone layout the pull oracle produces, and live blocks must be
+    untouched by the gating. by=32 so ty_rows=8 yields multiple fully-dead
+    blocks, plus a block adjacent to live rows (flag via neighbor row only)."""
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE
+    from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas
+    from particle_simulator_tpu.physics.bucket import bucket_move, bucketize_numpy
+
+    rng = np.random.default_rng(11)
+    cfg = GridConfig(4, 5, 8)  # 16x32 buckets
+    n = 400
+    parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+    # confine to the top ~3 bucket rows and left half of the box
+    parts["x"] = rng.integers(0, 2**31, n, dtype=np.uint64).astype(np.uint32)
+    parts["y"] = rng.integers(0, 2**32 // 10, n, dtype=np.uint64).astype(np.uint32)
+    parts["vx"] = rng.normal(0, 100, n)
+    parts["ty"] = rng.integers(0, 2, n)
+    layout = bucketize_numpy(parts, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    drift = rng.integers(-(2**27), 2**27, state.x.shape, dtype=np.int64)
+    y2 = (np.asarray(state.y).astype(np.int64) + drift) % 2**32
+    state = state._replace(y=jnp.asarray(y2.astype(np.uint32)))
+
+    live_rows = np.unique(np.nonzero((np.asarray(state.ty) >= 0).any(axis=(1, 2)))[0])
+    assert live_rows.max() < 8, "scene must leave lower blocks fully dead"
+
+    a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+    b = jax.tree.map(np.asarray, bucket_move_pallas(state, interpret=True))
+    for name, u, v in zip(a._fields, a, b):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
