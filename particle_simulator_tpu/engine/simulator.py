@@ -582,10 +582,13 @@ class Simulator:
             # derive block_rows exactly like frame_async so the warmed jit
             # signature tracks any future default-metadata change
             k = int(rec["gpu_threads_per_block_log2"])
-            out = _run_bucket_pallas(
-                dummy, params, block_rows=max(1, 1 << max(0, k - 4))
-            )
+            block_rows = max(1, 1 << max(0, k - 4))
+            out = _run_bucket_pallas(dummy, params, block_rows=block_rows)
             jax.block_until_ready(out)
+            # tell the progressive-compile gate this signature is hot, so the
+            # first default-scene frame goes straight to the Pallas kernel
+            # instead of detouring through the interim jnp runner
+            self._pallas_status[(cfg, block_rows, 1)] = "ok"
         except Exception:  # pragma: no cover - warming must never hurt
             pass
 

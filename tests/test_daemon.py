@@ -634,3 +634,42 @@ def test_progressive_compile_failure_pins_jnp(monkeypatch):
     assert sim._pallas_status[key] == "failed"
     out = sim.read_frame()
     assert np.isfinite(out.particles["vx"]).all()
+
+
+def test_warm_start_marks_progressive_signature_hot(monkeypatch):
+    """The daemon's warm-start thread must register its compiled signature
+    with the progressive-compile gate, so the out-of-box default scene's
+    first frame goes straight to the Pallas kernel (no interim jnp detour)."""
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+    from particle_simulator_tpu.io.frame import Frame
+    from particle_simulator_tpu.io.presets import ParticleLattice
+
+    calls = []
+
+    def fake_pallas(state, params, block_rows=None, lane_chunks=1):
+        calls.append((block_rows, lane_chunks))
+        return sim_mod._run_bucket(state, params)
+
+    monkeypatch.setattr(sim_mod, "_run_bucket_pallas", fake_pallas)
+
+    sim = Simulator()
+    sim.accel = jax.devices("cpu")[0]
+    sim.progressive_compile = True
+    sim.warm_default_grid()
+    assert list(sim._pallas_status.values()) == ["ok"]
+    assert len(calls) == 1
+
+    # the ACTUAL default editor scene (the same lattice warm derives from)
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((50, 50), distance_factor=1.1)
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2),
+                   rng=np.random.default_rng(0))
+    frame.metadata.steps_per_frame = 2
+    sim.load_frame(frame)
+    sim.frame_async()
+    # Pallas ran synchronously: warm key == frame key, no compile thread
+    assert len(calls) == 2
+    assert list(sim._pallas_status.values()) == ["ok"]
