@@ -802,6 +802,7 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
 
 
 def _place_edge_kernel(
+    flags_ref,
     x_ref, y_ref, ty_ref, vx_ref, vy_ref, id_ref, halo_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
     *, ty_rows: int, cap: int,
@@ -811,17 +812,13 @@ def _place_edge_kernel(
     clamped +-1 block triplets — at the shard's top/bottom edge those rows are
     the NEIGHBOR shard's edge buckets (exchange_halo output), so no row_ok
     masking exists: out-of-box rows are tombstones with destid -1, which never
-    matches an output slot id."""
+    matches an output slot id.
+
+    ``flags_ref[p]``: any KEPT candidate (destid >= 0) among the block's
+    source rows, halo rows included — a dead neighborhood skips every pull
+    pass (the single-chip _place_kernel's dead-block skip, sharded form)."""
     p_id = pl.program_id(0)
     L = x_ref.shape[1]
-
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
-    my_id = (p_id.astype(jnp.int32) * ty_rows + row_iota) * L + lane
-
-    halo = halo_ref[:]
-    above_f = tuple(halo[i : i + 1] for i in range(6))
-    below_f = tuple(halo[i : i + 1] for i in range(6, 12))
 
     ox_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
     oy_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
@@ -829,43 +826,53 @@ def _place_edge_kernel(
     ovy_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
     oty_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
 
-    main = (
-        x_ref[:], y_ref[:],
-        jax.lax.bitcast_convert_type(ty_ref[:], jnp.uint32),
-        jax.lax.bitcast_convert_type(vx_ref[:], jnp.uint32),
-        jax.lax.bitcast_convert_type(vy_ref[:], jnp.uint32),
-        jax.lax.bitcast_convert_type(id_ref[:], jnp.uint32),
-    )
+    @pl.when(flags_ref[p_id] != 0)
+    def _live_block():
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
+        my_id = (p_id.astype(jnp.int32) * ty_rows + row_iota) * L + lane
 
-    for dy in (-1, 0, 1):
-        if dy == -1:
-            fields = tuple(
-                jnp.concatenate([a, c[: ty_rows - 1]], axis=0)
-                for a, c in zip(above_f, main)
-            )
-        elif dy == 0:
-            fields = main
-        else:
-            fields = tuple(
-                jnp.concatenate([c[1:], b], axis=0)
-                for c, b in zip(main, below_f)
-            )
-        stacked = jnp.concatenate(fields, axis=0)
-        for t in range(-(2 * cap - 1), 2 * cap):
-            rolled = _roll_lanes(stacked, t)
-            jx = rolled[:ty_rows]
-            jy = rolled[ty_rows : 2 * ty_rows]
-            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
-            jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
-            jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
-            jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+        halo = halo_ref[:]
+        above_f = tuple(halo[i : i + 1] for i in range(6))
+        below_f = tuple(halo[i : i + 1] for i in range(6, 12))
 
-            match = jid == my_id
-            ox_ref[:] = jnp.where(match, jx, ox_ref[:])
-            oy_ref[:] = jnp.where(match, jy, oy_ref[:])
-            ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
-            ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
-            oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+        main = (
+            x_ref[:], y_ref[:],
+            jax.lax.bitcast_convert_type(ty_ref[:], jnp.uint32),
+            jax.lax.bitcast_convert_type(vx_ref[:], jnp.uint32),
+            jax.lax.bitcast_convert_type(vy_ref[:], jnp.uint32),
+            jax.lax.bitcast_convert_type(id_ref[:], jnp.uint32),
+        )
+
+        for dy in (-1, 0, 1):
+            if dy == -1:
+                fields = tuple(
+                    jnp.concatenate([a, c[: ty_rows - 1]], axis=0)
+                    for a, c in zip(above_f, main)
+                )
+            elif dy == 0:
+                fields = main
+            else:
+                fields = tuple(
+                    jnp.concatenate([c[1:], b], axis=0)
+                    for c, b in zip(main, below_f)
+                )
+            stacked = jnp.concatenate(fields, axis=0)
+            for t in range(-(2 * cap - 1), 2 * cap):
+                rolled = _roll_lanes(stacked, t)
+                jx = rolled[:ty_rows]
+                jy = rolled[ty_rows : 2 * ty_rows]
+                jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
+                jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
+                jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
+                jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+
+                match = jid == my_id
+                ox_ref[:] = jnp.where(match, jx, ox_ref[:])
+                oy_ref[:] = jnp.where(match, jy, oy_ref[:])
+                ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
+                ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
+                oty_ref[:] = jnp.where(match, jty, oty_ref[:])
 
 
 @functools.partial(
@@ -927,6 +934,13 @@ def bucket_move_pallas_halo(
     zero4 = jnp.zeros((n_blocks, 4, L), jnp.uint32)
     halo = jnp.concatenate([above, below, zero4], axis=1).reshape(n_blocks * 16, L)
 
+    # per-block source liveness over padded rows [i*ty_rows, i*ty_rows +
+    # ty_rows + 2): any KEPT candidate (destid >= 0; tombstones and halo
+    # fill carry -1) — see _place_edge_kernel's dead-neighborhood skip
+    src_live = (destid.reshape(py, L) >= 0).any(axis=1)
+    win = jnp.arange(n_blocks)[:, None] * ty_rows + jnp.arange(ty_rows + 2)[None, :]
+    flags = src_live[win].any(axis=1).astype(jnp.int32)
+
     spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     halo_spec = pl.BlockSpec((16, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
@@ -934,7 +948,9 @@ def bucket_move_pallas_halo(
     nx, ny, nvx, nvy, nty = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
-        in_specs=[spec() for _ in range(6)] + [halo_spec],
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [spec() for _ in range(6)]
+        + [halo_spec],
         out_specs=[out_spec] * 5,
         out_shape=[
             jax.ShapeDtypeStruct((ly, L), jnp.uint32),
@@ -946,6 +962,7 @@ def bucket_move_pallas_halo(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
+        flags,
         mains[0],
         mains[1],
         jax.lax.bitcast_convert_type(mains[2], jnp.int32),

@@ -377,3 +377,71 @@ def test_multihost_daemon_editor_end_to_end():
         assert "disconnected after" in err
         if i == 0:
             assert "sharding over a (2, 2) device mesh" in err
+
+
+@pytest.mark.parametrize("impl", ["direct", "pallas"])
+def test_sharded_move_pass_sparse_scene_bit_identical(impl):
+    """The sharded move's dead-neighborhood skip (_place_edge_kernel flags):
+    a scene confined to one corner leaves whole shards (and blocks within
+    live shards) with no kept candidate — their outputs must equal the pull
+    oracle's all-tombstone layout bit-for-bit, across a 4-device mesh."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from particle_simulator_tpu.engine.state import ParticleState
+    from particle_simulator_tpu.parallel.domain import AXIS_X, AXIS_Y, exchange_halo
+    from particle_simulator_tpu.physics.bucket import (
+        bucket_move,
+        bucket_move_direct_halo,
+    )
+
+    cfg = GridConfig(4, 4, 4)
+    rng = np.random.default_rng(23)
+    by, bx, cap = cfg.grid_shape
+    n = cfg.capacity
+    # confine live particles to the top-left ~quarter, with +-1-bucket drift
+    x = rng.integers(0, 2**30, n, dtype=np.uint32)
+    y = rng.integers(0, 2**30, n, dtype=np.uint32)
+    ty = np.where(rng.random(n) < 0.3, 0, -1).astype(np.int32)
+    state = ParticleState(
+        x=jnp.asarray(x).reshape(by, bx, cap),
+        y=jnp.asarray(y).reshape(by, bx, cap),
+        vx=jnp.asarray(rng.normal(size=n).astype(np.float32)).reshape(by, bx, cap),
+        vy=jnp.asarray(rng.normal(size=n).astype(np.float32)).reshape(by, bx, cap),
+        ty=jnp.asarray(ty).reshape(by, bx, cap),
+    )
+    # live sources only exist in the first quarter of bucket rows/cols
+    live_mask = np.zeros((by, bx, cap), bool)
+    live_mask[: by // 2, : bx // 2] = True
+    state = state._replace(ty=jnp.where(jnp.asarray(live_mask), state.ty, -1))
+
+    ref = jax.tree.map(np.asarray, bucket_move(state))
+
+    mesh = make_mesh(n_devices=4)
+    ny, nx = mesh.devices.shape
+
+    def body(s):
+        ly, lx = s.x.shape[0], s.x.shape[1]
+        row_offset = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * ly
+        col_offset = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * lx
+        padded = exchange_halo(s, ny, nx)
+        if impl == "pallas":
+            from particle_simulator_tpu.ops.bucket_pallas import (
+                bucket_move_pallas_halo,
+            )
+
+            return bucket_move_pallas_halo(
+                padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset,
+                interpret=True,
+            )
+        return bucket_move_direct_halo(
+            padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset
+        )
+
+    spec = ParticleState(*([P(AXIS_Y, AXIS_X, None)] * 5))
+    fn = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=spec,
+                   check_vma=False)
+    got = jax.tree.map(np.asarray, fn(shard_state(state, mesh)))
+
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=f"field {name} ({impl})")
