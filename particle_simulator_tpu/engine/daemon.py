@@ -189,11 +189,11 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
         # under 1 fps and would otherwise never surface their throughput
         if shipped % 64 == 0 or time.monotonic() >= next_report:
             # surface the progressive-compile state so throughput lines are
-            # attributable to the kernel that produced them
-            interim = sim.progressive_compile and any(
-                v == "compiling" for v in sim._pallas_status.values()
-            )
-            suffix = " [interim jnp kernel; pallas compiling]" if interim else ""
+            # attributable to the kernel that actually produced them
+            suffix = {
+                "bucket-jnp-interim": " [interim jnp kernel; pallas compiling]",
+                "bucket-jnp-pinned": " [jnp kernel; pallas compile failed]",
+            }.get(sim.active_kernel, "")
             print(f"engine: {meter.report()}{suffix}", file=sys.stderr)
             next_report = time.monotonic() + 30.0
 

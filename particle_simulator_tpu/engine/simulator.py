@@ -267,6 +267,12 @@ class Simulator:
         # measure one kernel; the daemon turns it on (--progressive-compile).
         self.progressive_compile = False
         self._pallas_status: dict = {}  # key -> "compiling" | "ok" | "failed"
+        # which kernel produced the last frame_async dispatch — observability
+        # for the daemon's meter line (throughput must be attributable):
+        # "bucket-pallas" | "bucket-jnp-interim" (pallas still compiling) |
+        # "bucket-jnp-pinned" (pallas compile failed) | "bucket-jnp-cpu" |
+        # "sharded-<kernel>" | "allpairs-pallas" | "allpairs-jnp" | "host"
+        self.active_kernel: str | None = None
         self.force_device_readback = False
 
     # -- scene / metadata ingest (kernel_prepare_frame analog) -----------------
@@ -449,13 +455,16 @@ class Simulator:
                 self.state = host.host_run_frame_bucket(
                     self.state, self.params, move_every=self.grid.move_every
                 )
+            self.active_kernel = "host"
             self.state_is_dispatched = False  # nothing to async-copy
             return
         if self.data_structure == DataStructure.COMPACT_ARRAY:
             if self.active_device == Device.GPU:
                 self.state = _run_compact_pallas(self.state, self.params)
+                self.active_kernel = "allpairs-pallas"
             else:
                 self.state = _run_compact(self.state, self.params)
+                self.active_kernel = "allpairs-jnp"
         elif self.mesh is not None:
             # multi-chip spatial domain decomposition (parallel/domain.py)
             key = (self.grid, self.mesh)
@@ -467,6 +476,7 @@ class Simulator:
                 fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False, kernel=kernel)
                 self._sharded_fns[key] = fn
             self.state = fn(self.state, self.params)
+            self.active_kernel = "sharded-pallas" if jax.default_backend() == "tpu" else "sharded-jnp"
         elif self.active_device == Device.GPU:
             # accelerator: the Pallas VMEM-resident kernel (ops/bucket_pallas.py).
             # gpu_threads_per_block_log2 (the reference's runtime launch-width
@@ -478,13 +488,22 @@ class Simulator:
                 # cold shape: same step math via the XLA-jnp runner while the
                 # Pallas program compiles in the background (see __init__)
                 self.state = _run_bucket(self.state, self.params)
+                status = self._pallas_status.get(
+                    (self.grid, block_rows, self._lane_chunks)
+                )
+                self.active_kernel = (
+                    "bucket-jnp-pinned" if status == "failed"
+                    else "bucket-jnp-interim"
+                )
             else:
                 self.state = _run_bucket_pallas(
                     self.state, self.params, block_rows=block_rows,
                     lane_chunks=self._lane_chunks,
                 )
+                self.active_kernel = "bucket-pallas"
         else:
             self.state = _run_bucket(self.state, self.params)
+            self.active_kernel = "bucket-jnp-cpu"
         self.state_is_dispatched = True
 
     def sync(self) -> None:
@@ -576,19 +595,32 @@ class Simulator:
                 parts[parts["ty"] >= 0], self.base_grid, meta.box_width,
                 meta.species(0).force0_r(), box_height=meta.box_height,
             )
-            dummy = jax.device_put(empty_state(cfg.grid_shape), self.accel)
             rec = default_metadata()
             params = SimParams.from_record(rec)
             # derive block_rows exactly like frame_async so the warmed jit
             # signature tracks any future default-metadata change
             k = int(rec["gpu_threads_per_block_log2"])
             block_rows = max(1, 1 << max(0, k - 4))
-            out = _run_bucket_pallas(dummy, params, block_rows=block_rows)
-            jax.block_until_ready(out)
-            # tell the progressive-compile gate this signature is hot, so the
-            # first default-scene frame goes straight to the Pallas kernel
-            # instead of detouring through the interim jnp runner
-            self._pallas_status[(cfg, block_rows, 1)] = "ok"
+            # register with the progressive-compile gate UP FRONT: a default
+            # scene arriving during this (multi-minute) compile must wait on
+            # it through the interim jnp runner, not spawn a duplicate
+            # compile of the identical program on a second thread
+            key = (cfg, block_rows, 1)
+            if key in self._pallas_status:
+                return  # already compiled / being compiled by frame_async
+            self._pallas_status[key] = "compiling"
+            try:
+                dummy = jax.device_put(empty_state(cfg.grid_shape), self.accel)
+                out = _run_bucket_pallas(dummy, params, block_rows=block_rows)
+                jax.block_until_ready(out)
+                # the first default-scene frame now goes straight to the
+                # Pallas kernel instead of detouring through the jnp runner
+                self._pallas_status[key] = "ok"
+            except Exception:
+                # warming is best-effort: clear the claim so a real scene's
+                # _pallas_warm can run (and report) its own compile
+                self._pallas_status.pop(key, None)
+                raise
         except Exception:  # pragma: no cover - warming must never hurt
             pass
 

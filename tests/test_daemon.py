@@ -147,7 +147,10 @@ def test_daemon_data_structure_switch_mid_run():
     from particle_simulator_tpu.io.frame import DataStructure
 
     server = new_tcp_server(("127.0.0.1", 0))
-    t = threading.Thread(target=run_daemon, args=(server.addr[1], 10), daemon=True)
+    # generous frame budget: under suite load the daemon can ship many
+    # frames between our write() and its next frontend poll, and it must
+    # not hit max_frames before the reset arrives (observed flake)
+    t = threading.Thread(target=run_daemon, args=(server.addr[1], 200), daemon=True)
     t.start()
     reader, writer = accept_blocking(server)
 
@@ -160,8 +163,13 @@ def test_daemon_data_structure_switch_mid_run():
     scene2 = scene_frame(n=6)
     scene2.metadata.data_structure = DataStructure.COMPACT_ARRAY
     assert writer.write(scene2)
-    later = read_frames(reader, want=4)
-    switched = [f for f in later if f.particle_count == scene2.particle_count]
+    switched = []
+    deadline = time.monotonic() + 60.0
+    while not switched and time.monotonic() < deadline:
+        switched = [
+            f for f in read_frames(reader, want=4, timeout=10.0)
+            if f.particle_count == scene2.particle_count
+        ]
     assert switched, "scene reset never took effect"
     assert all(
         f.metadata.data_structure == DataStructure.COMPACT_ARRAY for f in switched
