@@ -112,6 +112,10 @@ def main(argv=None) -> int:
                          "cap-16 at this density) — the honest interactive "
                          "number, and the case the kernel's occupancy/dead-"
                          "block pass skips exist for")
+    ap.add_argument("--lane-chunks", type=int, default=0,
+                    help="[--user-scene only] override the engine's "
+                         "occupancy-chosen lane-chunk count (0 = auto) — "
+                         "for same-window A/B of the column-chunk skip")
     ap.add_argument("--per-frame", action="store_true",
                     help="barrier every frame (1-element readback) and report "
                          "the per-frame time distribution — run-to-run "
@@ -269,6 +273,8 @@ def bench_user_scene(args) -> int:
     frame.metadata.steps_per_frame = args.steps
     sim = Simulator()
     sim.load_frame(frame)
+    if args.lane_chunks:
+        sim._lane_chunks = args.lane_chunks
     n = int(np.count_nonzero(frame.particles["ty"] >= 0))
 
     # Warmup: compile AND warm the host-transfer path. The tunnel's first
