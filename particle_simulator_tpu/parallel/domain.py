@@ -167,6 +167,12 @@ def _local_frame(
     grid and slices the interior back out — the halo ring's outputs are
     recomputed waste ((ly+2)(lx+2)/(ly*lx), a few percent at production shard
     sizes) in exchange for the VMEM-resident force pass on every chip.
+
+    The single-chip runner's ``lane_chunks`` column skip is NOT plumbed here:
+    the x-halo columns join the lane axis, so lanes span lx+2 buckets — never
+    divisible into the equal 128-multiple chunks bucket_step_pallas requires.
+    Sparse multi-chip scenes still get the row-block, occupancy-residue, and
+    move-pass dead-neighborhood skips.
     """
     ly = state.x.shape[0]
     lx = state.x.shape[1]
