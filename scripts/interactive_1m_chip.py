@@ -61,6 +61,14 @@ def main(argv=None) -> int:
                     help="first-frame budget: the 512x512x16 Mosaic compile "
                          "runs ~19 min cold over the dev tunnel")
     ap.add_argument("--readback-pipeline", type=int, default=1)
+    ap.add_argument("--progressive-compile", default=False,
+                    action=argparse.BooleanOptionalAction,
+                    help="daemon default is ON (frames flow through the "
+                         "interim jnp runner while Mosaic compiles), but a "
+                         "measurement window wants ONE attributable kernel — "
+                         "default OFF here; the persistent compile cache "
+                         "keeps the pinned-pallas first-frame wait short on "
+                         "warm machines")
     args = ap.parse_args(argv)
 
     base = f"http://127.0.0.1:{args.http_port}"
@@ -75,6 +83,8 @@ def main(argv=None) -> int:
         [sys.executable, "-m", "particle_simulator_tpu.engine.daemon",
          "--addr", f"127.0.0.1:{args.tcp_port}",
          "--readback-pipeline", str(args.readback_pipeline),
+         "--progressive-compile" if args.progressive_compile
+         else "--no-progressive-compile",
          "--retry-s", "60"],
         cwd=REPO,
         stdout=open("/tmp/i1m_daemon.log", "wb"), stderr=subprocess.STDOUT)
