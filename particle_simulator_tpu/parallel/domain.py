@@ -148,6 +148,43 @@ def exchange_halo(state: ParticleState, ny: int, nx: int) -> ParticleState:
     return ParticleState(x, y, vx, vy, typ - 1)
 
 
+def exchange_halo_x_rows(
+    state: ParticleState, ny: int, nx: int
+) -> tuple[ParticleState, ParticleState, ParticleState]:
+    """Halo exchange for the Pallas step: (ly, lx, cap) -> the x-padded grid
+    (ly, lx+2, cap) plus the (1, lx+2, cap) top/bottom neighbor rows.
+
+    Produces bit-identical data to ``exchange_halo`` followed by slicing the
+    interior rows and the two edge rows back out — without materializing the
+    (ly+2, lx+2) y-concat or re-slicing the (ly, lx+2) interior. Those two
+    ops are full copies of the local state (~2x 20 MB/step at 1M), the bulk
+    of the 1x1-mesh shard overhead BASELINE.md measured at 15.7%; the x-pad
+    concat stays because the kernel's lane axis needs contiguous lx+2
+    columns. Corner propagation is preserved: the shipped edge rows are
+    already x-padded, so each device's top/bottom row carries its y-neighbor's
+    x-halo corners (the same "y-phase ships x-padded rows" rule as
+    ``exchange_halo``).
+    """
+    fields = (state.x, state.y, state.vx, state.vy, (state.ty + 1).astype(jnp.int32))
+
+    def pad_x(a):
+        lo_edge = jax.lax.slice_in_dim(a, 0, 1, axis=1)
+        hi_edge = jax.lax.slice_in_dim(a, a.shape[1] - 1, a.shape[1], axis=1)
+        lo_halo = _shift_from_prev(hi_edge, AXIS_X, nx)
+        hi_halo = _shift_from_next(lo_edge, AXIS_X, nx)
+        return jnp.concatenate([lo_halo, a, hi_halo], axis=1)
+
+    xp = tuple(pad_x(a) for a in fields)
+    top = tuple(_shift_from_prev(a[-1:], AXIS_Y, ny) for a in xp)
+    bottom = tuple(_shift_from_next(a[:1], AXIS_Y, ny) for a in xp)
+
+    def decode(fs):
+        x, y, vx, vy, typ = fs
+        return ParticleState(x, y, vx, vy, typ - 1)
+
+    return decode(xp), decode(top), decode(bottom)
+
+
 # ---------------------------------------------------------------------------
 # sharded frame runner
 # ---------------------------------------------------------------------------
@@ -214,12 +251,12 @@ def _local_frame(
             # local grid keeps its 8/16-row blocking instead of becoming an
             # unblockable (ly+2)-row array (VERDICT r1: production shards like
             # 128x4096 must NOT fall back to a whole-array VMEM block).
-            padded = exchange_halo(s, ny, nx)  # (ly+2, lx+2, cap)
-            interior = ParticleState(*(a[1:-1] for a in padded))
-            top = ParticleState(*(a[:1] for a in padded))
-            bottom = ParticleState(*(a[-1:] for a in padded))
+            # exchange_halo_x_rows ships only what the kernel consumes — the
+            # full (ly+2, lx+2) concat + interior re-slice would cost two
+            # whole-state copies per step (the bulk of the 1x1 shard overhead).
+            xp, top, bottom = exchange_halo_x_rows(s, ny, nx)
             out = bucket_step_pallas(
-                interior, p, interpret=interpret, edge_rows=(top, bottom)
+                xp, p, interpret=interpret, edge_rows=(top, bottom)
             )
             return ParticleState(*(a[:, 1:-1] for a in out))
 

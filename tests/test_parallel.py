@@ -93,6 +93,43 @@ def test_halo_exchange_matches_tombstone_pad_interior():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_halo_exchange_x_rows_bit_identical_to_full_pad():
+    """exchange_halo_x_rows (the Pallas step's copy-light exchange) must ship
+    bit-identical data to exchange_halo followed by slicing the interior rows
+    and the two edge rows back out — including the x-halo corners the shipped
+    edge rows carry from the diagonal neighbor."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    from particle_simulator_tpu.engine.state import ParticleState
+    from particle_simulator_tpu.parallel.domain import exchange_halo_x_rows
+
+    cfg = GridConfig(4, 4, 4)
+    state, params = scene_grid(cfg, nx=12, ny=12, vel=(0.0, 80.0))
+
+    mesh = make_mesh(n_devices=8)
+    ny, nx = mesh.devices.shape
+    spec = ParticleState(*([P("dy", "dx", None)] * 5))
+
+    def via_full(s):
+        padded = exchange_halo(s, ny, nx)
+        return (
+            ParticleState(*(a[1:-1] for a in padded)),
+            ParticleState(*(a[:1] for a in padded)),
+            ParticleState(*(a[-1:] for a in padded)),
+        )
+
+    def run(f):
+        g = shard_map(
+            f, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec, spec)
+        )
+        return jax.tree.map(np.asarray, g(shard_state(state, mesh)))
+
+    ref, got = run(via_full), run(lambda s: exchange_halo_x_rows(s, ny, nx))
+    for part_ref, part_got, which in zip(ref, got, ("interior", "top", "bottom")):
+        for name, a, b in zip(part_ref._fields, part_ref, part_got):
+            np.testing.assert_array_equal(a, b, err_msg=f"{which}.{name}")
+
+
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
 def test_sharded_frame_matches_single_device(n_devices):
     """Sharded multi-frame run == single-device run, including the
