@@ -284,6 +284,19 @@ class Editor:
     def rename_preset(self, i: int, name: str) -> None:
         self.presets[i].name = name
 
+    def delete_preset(self, i: int) -> None:
+        """Delete a preset, keeping an in-progress preset edit coherent: an
+        open edit of the deleted preset becomes a plain edit (update_preset
+        no-ops; save via save_preset/resend_current), and an edit of a
+        later preset follows its slot down — otherwise update_preset would
+        write the edit back through a stale index onto an unrelated preset."""
+        self.presets.delete(i)
+        if self._edit_preset_index is not None:
+            if self._edit_preset_index == i:
+                self._edit_preset_index = None
+            elif self._edit_preset_index > i:
+                self._edit_preset_index -= 1
+
     def edit_preset(self, i: int) -> Frame:
         """The preset list's edit button: open the preset's scene in editing
         mode (tools apply to it); ``update_preset`` writes it back to the

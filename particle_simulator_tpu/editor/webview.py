@@ -723,7 +723,7 @@ class WebEditor:
             elif action == "preset_delete":
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets):
-                    e.presets.delete(i)
+                    e.delete_preset(i)  # keeps an open preset edit's index coherent
                     self._persist_presets()
             elif action == "preset_duplicate":
                 i = int(req.get("index", -1))

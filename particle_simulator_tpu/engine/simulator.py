@@ -267,6 +267,14 @@ class Simulator:
         # measure one kernel; the daemon turns it on (--progressive-compile).
         self.progressive_compile = False
         self._pallas_status: dict = {}  # key -> "compiling" | "ok" | "failed"
+        # claims on _pallas_status keys are check-then-set from two threads
+        # (frame_async's _pallas_warm on the main loop, warm_default_grid on
+        # the warm-start thread); the lock makes the claim atomic so one
+        # multi-minute Mosaic compile never runs twice on the single-tenant
+        # tunnel
+        import threading
+
+        self._pallas_claim_lock = threading.Lock()
         # which kernel produced the last frame_async dispatch — observability
         # for the daemon's meter line (throughput must be attributable):
         # "bucket-pallas" | "bucket-jnp-interim" (pallas still compiling) |
@@ -518,13 +526,15 @@ class Simulator:
         the compile thread and returns False; a failed compile (e.g. VMEM
         overflow at an extreme grid) pins the signature to the jnp runner."""
         key = (self.grid, block_rows, self._lane_chunks)
-        status = self._pallas_status.get(key)
+        with self._pallas_claim_lock:
+            status = self._pallas_status.get(key)
+            if status is None:
+                self._pallas_status[key] = "compiling"
         if status == "ok":
             return True
         if status is None:
             import threading
 
-            self._pallas_status[key] = "compiling"
             threading.Thread(
                 target=self._compile_pallas,
                 args=(key, self.params),
@@ -606,9 +616,10 @@ class Simulator:
             # it through the interim jnp runner, not spawn a duplicate
             # compile of the identical program on a second thread
             key = (cfg, block_rows, 1)
-            if key in self._pallas_status:
-                return  # already compiled / being compiled by frame_async
-            self._pallas_status[key] = "compiling"
+            with self._pallas_claim_lock:
+                if key in self._pallas_status:
+                    return  # already compiled / being compiled by frame_async
+                self._pallas_status[key] = "compiling"
             try:
                 dummy = jax.device_put(empty_state(cfg.grid_shape), self.accel)
                 out = _run_bucket_pallas(dummy, params, block_rows=block_rows)

@@ -160,9 +160,6 @@ class Presets:
     def add(self, preset: Preset) -> None:
         self._presets.append(preset)
 
-    def insert(self, i: int, preset: Preset) -> None:
-        self._presets.insert(i, preset)
-
     def delete(self, i: int) -> None:
         del self._presets[i]
 

@@ -41,6 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from particle_simulator_tpu.engine.state import PARTICLE_MASS, ParticleState, SimParams, U32_MAX_F
+from particle_simulator_tpu.physics.mie import mie_log_coeffs_scalars
 
 F32 = jnp.float32
 
@@ -175,25 +176,15 @@ def _step_block(
     bw = params_ref[_BW]
     bh = params_ref[_BH]
     dt = params_ref[_DT]
-    # C = (n/(n-m)) * (n/m)^(m/(n-m))  (particle.cuh:54)
+    # C = (n/(n-m)) * (n/m)^(m/(n-m))  (particle.cuh:54) — for the wall force
     C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
     Ce = C * eps
-    # log-domain pair-force constants (physics/mie.py mie_log_coeffs):
-    # F/r = s1*exp(A1 - B1*lu) - s2*exp(A2 - B2*lu), lu = log(d2/sigma^2) —
-    # one log + two exp + two FMAs + two sign muls per pair; the rsqrt and
-    # five muls of the direct form hoist into these per-dispatch scalars
-    # (signs keep garbage metadata finite instead of log-of-negative NaN)
-    s2 = sigma * sigma
-    ce_s2 = Ce / s2
-    t1 = ce_s2 * m
-    t2 = ce_s2 * n
-    A1 = jnp.log(jnp.abs(t1))
-    A2 = jnp.log(jnp.abs(t2))
-    B1 = (m + F32(2.0)) * F32(0.5)
-    B2 = (n + F32(2.0)) * F32(0.5)
-    sg1 = jnp.where(t1 < F32(0.0), F32(-1.0), F32(1.0))
-    sg2 = jnp.where(t2 < F32(0.0), F32(-1.0), F32(1.0))
-    inv_s2 = F32(1.0) / s2
+    # log-domain pair-force constants: F/r = s1*exp(A1 - B1*lu) -
+    # s2*exp(A2 - B2*lu), lu = log(d2/sigma^2) — one log + two exp + two
+    # FMAs + two sign muls per pair; the rsqrt and five muls of the direct
+    # form hoist into these per-dispatch scalars. Shared derivation (incl.
+    # the garbage-metadata sign/clamp handling): physics/mie.py
+    A1, B1, A2, B2, inv_s2, sg1, sg2 = mie_log_coeffs_scalars(sigma, eps, n, m)
 
     live_i = ty0 >= 0
     xf = _u32_to_f32(x0)

@@ -51,8 +51,16 @@ def mie_force_repulsive(r, p: SimParams):
     return C * p.epsilon * p.m * jnp.power(sr, p.m) / r
 
 
-def mie_log_coeffs(p: SimParams):
-    """Log-domain pair-force constants.
+_F32_TINY = 1.1754944e-38  # smallest normal f32
+_F32_HUGE = 3.4028235e38   # largest finite f32
+
+
+def mie_log_coeffs_scalars(sigma, eps, n, m):
+    """Log-domain pair-force constants from raw f32 scalars — THE shared
+    derivation for the jnp pair path (``mie_log_coeffs``) and both Pallas
+    kernels (ops/bucket_pallas.py, ops/allpairs_pallas.py read sigma/eps/n/m
+    from their params vector and call this inside the kernel body; it is
+    pure scalar math Mosaic evaluates once per dispatch).
 
     The pair kernel needs F(r)/r, and the Mie law factors into two pure
     exponentials of lu = log(r^2/sigma^2):
@@ -71,20 +79,41 @@ def mie_log_coeffs(p: SimParams):
     producing the same FINITE values as the direct form instead of
     log-of-negative NaNs that would permanently poison the scene. Agreement
     with the oracle's powf form is within f32 rounding (tests/test_physics).
+
+    Degenerate-sigma handling (every param here is a live-editable slider):
+    sigma == 0 would make Ce/s2 = inf and then inf - inf = NaN in the pair
+    loop, where the direct form yields ZERO force (sr = 0, powf(0, m) = 0).
+    s2 clamps to the smallest normal f32 so inv_s2 (hence lu) stays finite,
+    |t| clamps to the largest finite f32 so garbage-huge eps can't reach
+    log(inf), and A pins to -inf when sigma underflowed — exp(-inf - B*lu)
+    is the direct form's EXACT zero at every d2 > 0 (at d2 == 0, coincident
+    particles, both forms are already NaN/inf — reference parity). All
+    clamps are identity for every physically representable sigma/eps.
     """
-    C = mie_constant(p.n, p.m)
-    s = jnp.asarray(p.sigma, F32)
-    s2 = s * s
-    ce_s2 = C * p.epsilon / s2
-    t1 = ce_s2 * p.m
-    t2 = ce_s2 * p.n
-    A1 = jnp.log(jnp.abs(t1))
-    A2 = jnp.log(jnp.abs(t2))
-    B1 = (p.m + F32(2.0)) * F32(0.5)
-    B2 = (p.n + F32(2.0)) * F32(0.5)
+    # C = (n/(n-m)) * (n/m)^(m/(n-m))  (particle.cuh:54), in the exp/log
+    # form both Pallas kernels have always used
+    C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
+    s = jnp.asarray(sigma, F32)
+    degenerate = s * s < F32(_F32_TINY)
+    s2 = jnp.maximum(s * s, F32(_F32_TINY))
+    ce_s2 = C * jnp.asarray(eps, F32) / s2
+    t1 = ce_s2 * m
+    t2 = ce_s2 * n
+    neg_inf = F32(-jnp.inf)
+    A1 = jnp.where(degenerate, neg_inf, jnp.log(jnp.minimum(jnp.abs(t1), F32(_F32_HUGE))))
+    A2 = jnp.where(degenerate, neg_inf, jnp.log(jnp.minimum(jnp.abs(t2), F32(_F32_HUGE))))
+    B1 = (m + F32(2.0)) * F32(0.5)
+    B2 = (n + F32(2.0)) * F32(0.5)
     s1 = jnp.where(t1 < F32(0.0), F32(-1.0), F32(1.0))
     s2_ = jnp.where(t2 < F32(0.0), F32(-1.0), F32(1.0))
     return A1, B1, A2, B2, F32(1.0) / s2, s1, s2_
+
+
+def mie_log_coeffs(p: SimParams):
+    """Log-domain pair-force constants for the jnp pair path — see
+    ``mie_log_coeffs_scalars`` for the math and the degenerate-metadata
+    clamps."""
+    return mie_log_coeffs_scalars(p.sigma, p.epsilon, p.n, p.m)
 
 
 def mie_potential(r, p: SimParams):

@@ -73,22 +73,26 @@ def main(argv=None) -> int:
 
     base = f"http://127.0.0.1:{args.http_port}"
     env_cpu = dict(os.environ, JAX_PLATFORMS="cpu")
-    web = subprocess.Popen(
-        [sys.executable, "-m", "particle_simulator_tpu.editor.webview",
-         "--http", f"127.0.0.1:{args.http_port}",
-         "--addr", f"127.0.0.1:{args.tcp_port}"],
-        cwd=REPO, env=env_cpu,
-        stdout=open("/tmp/i1m_webview.log", "wb"), stderr=subprocess.STDOUT)
-    daemon = subprocess.Popen(
-        [sys.executable, "-m", "particle_simulator_tpu.engine.daemon",
-         "--addr", f"127.0.0.1:{args.tcp_port}",
-         "--readback-pipeline", str(args.readback_pipeline),
-         "--progressive-compile" if args.progressive_compile
-         else "--no-progressive-compile",
-         "--retry-s", "60"],
-        cwd=REPO,
-        stdout=open("/tmp/i1m_daemon.log", "wb"), stderr=subprocess.STDOUT)
+    # spawn INSIDE the try: a failure spawning the daemon must still tear
+    # down the webview (a leaked listener makes the next unattended queue
+    # run fail to bind the same ports)
+    web = daemon = None
     try:
+        web = subprocess.Popen(
+            [sys.executable, "-m", "particle_simulator_tpu.editor.webview",
+             "--http", f"127.0.0.1:{args.http_port}",
+             "--addr", f"127.0.0.1:{args.tcp_port}"],
+            cwd=REPO, env=env_cpu,
+            stdout=open("/tmp/i1m_webview.log", "wb"), stderr=subprocess.STDOUT)
+        daemon = subprocess.Popen(
+            [sys.executable, "-m", "particle_simulator_tpu.engine.daemon",
+             "--addr", f"127.0.0.1:{args.tcp_port}",
+             "--readback-pipeline", str(args.readback_pipeline),
+             "--progressive-compile" if args.progressive_compile
+             else "--no-progressive-compile",
+             "--retry-s", "60"],
+            cwd=REPO,
+            stdout=open("/tmp/i1m_daemon.log", "wb"), stderr=subprocess.STDOUT)
         deadline = time.monotonic() + 60
         while time.monotonic() < deadline:
             try:
@@ -184,13 +188,15 @@ def main(argv=None) -> int:
         except Exception:
             pass
         try:
-            daemon.terminate()
-            daemon.wait(timeout=120)
+            if daemon is not None:
+                daemon.terminate()
+                daemon.wait(timeout=120)
         except Exception:
             pass
-        web.terminate()
         try:
-            web.wait(timeout=30)
+            if web is not None:
+                web.terminate()
+                web.wait(timeout=30)
         except Exception:
             pass
 

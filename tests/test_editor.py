@@ -320,3 +320,32 @@ def test_render_styles_differ():
     shaded = render_frame(frame, 96, 96, style="shaded")
     assert flat.shape == shaded.shape
     assert (flat != shaded).any()
+
+
+def test_preset_delete_keeps_open_edit_index_coherent():
+    """r3 review finding: deleting a preset while a preset edit is open must
+    not let update_preset write the edit back through a stale index onto an
+    unrelated preset."""
+    editor = Editor(Backend(tcp=False))
+    for name, n in (("A", 2), ("B", 3), ("C", 4)):
+        f = frame_with(n=n)
+        editor.timeline.push_frame(f)
+        editor.save_preset(name)
+    counts = [p.to_frame().particle_count for p in editor.presets]
+
+    # edit B, delete A: the open edit must follow B down to slot 0
+    editor.edit_preset(1)
+    editor.delete_preset(0)
+    editor.update_preset(name="B-edited")
+    assert [p.name for p in editor.presets] == ["B-edited", "C"]
+    assert editor.presets[0].to_frame().particle_count == counts[1]
+    assert editor.presets[1].to_frame().particle_count == counts[2]
+
+    # edit B-edited, delete it: the edit loses its slot, update no-ops
+    editor.edit_preset(0)
+    editor.delete_preset(0)
+    editor.update_preset(name="ghost")
+    assert [p.name for p in editor.presets] == ["C"]
+    assert editor.presets[0].to_frame().particle_count == counts[2]
+    assert editor.editing  # still a plain edit; cancel works
+    editor.cancel_editing()

@@ -213,3 +213,44 @@ def test_log_domain_force_matches_direct_form():
         scale = np.abs(direct) + np.abs(direct).max() * 1e-6
         err = np.abs(got - direct) / scale
         assert err.max() < 5e-5, (n_exp, m_exp, err.max())
+
+
+def test_log_domain_force_sigma_zero_gives_zero_not_nan():
+    """sigma == 0 is a reachable live-edit slider value. The direct form
+    yields ZERO force there (sr = 0, powf(0, m) = 0); the folded log-domain
+    constants must yield the same zero — an unclamped s2 = 0 makes
+    Ce/s2 = inf and then inf - inf = NaN in the pair loop, permanently
+    poisoning every velocity it touches (the r3 advisor finding)."""
+    import jax.numpy as jnp
+
+    from particle_simulator_tpu.engine.state import SimParams
+    from particle_simulator_tpu.io.frame import Frame
+    from particle_simulator_tpu.physics.mie import mie_log_coeffs
+
+    meta = Frame.new().metadata.copy()
+    meta["particles"][0]["sigma"] = 0.0
+    p = SimParams.from_record(meta)
+
+    A1, B1, A2, B2, inv_s2, s1, s2 = mie_log_coeffs(p)
+    # A1/A2 pin to -inf (that's what makes exp underflow to the exact zero);
+    # everything else must be finite and nothing may be NaN
+    for c in (B1, B2, inv_s2, s1, s2):
+        assert np.isfinite(np.asarray(c)).all()
+    assert not np.isnan(np.asarray(A1)).any() and not np.isnan(np.asarray(A2)).any()
+
+    # every physically reachable distance (sub-pm overlap to the box scale)
+    r = jnp.asarray(np.geomspace(1e-13, 5e-8, 512), jnp.float32)
+    lu = jnp.log(r * r * inv_s2)
+    got = np.asarray(s1 * jnp.exp(A1 - B1 * lu) - s2 * jnp.exp(A2 - B2 * lu))
+    np.testing.assert_array_equal(got, np.zeros_like(got))
+
+    # and through the full jnp pair path: two overlapping live particles
+    from particle_simulator_tpu.physics.mie import pair_force_accum
+
+    xi = np.array([2**31, 2**31 + 1000], dtype=np.uint32)
+    yi = np.array([2**31, 2**31], dtype=np.uint32)
+    tyi = np.array([0, 0], dtype=np.int32)
+    self_mask = np.eye(2, dtype=bool)
+    fx, fy = pair_force_accum(xi, yi, tyi, xi, yi, tyi, p, self_mask=self_mask)
+    assert np.isfinite(np.asarray(fx)).all() and np.isfinite(np.asarray(fy)).all()
+    np.testing.assert_array_equal(np.asarray(fx), 0.0)
