@@ -231,6 +231,16 @@ class Editor:
             frame = current.copy()
         self.editing = True
         self._edit_frame = frame
+        self._edit_preset_index = None  # a fresh plain edit, not a preset edit
+        return frame
+
+    def begin_editing_empty(self) -> Frame:
+        """"New preset from: empty frame" (editor.rs:1014-1030): open an
+        empty scene (current params, zero particles) in editing mode."""
+        frame = Frame.from_metadata(self.sim_params.copy())
+        self.editing = True
+        self._edit_frame = frame
+        self._edit_preset_index = None
         return frame
 
     def apply_tool(self, stroke: Stroke, options: ToolOptions,
@@ -264,7 +274,8 @@ class Editor:
         editor.rs:1060-1066), otherwise the timeline frame at the playhead."""
         frame = self._edit_frame if self.editing else self.current_frame()
         if frame is not None:
-            self.presets.add(Preset.from_frame(name, frame.copy()))
+            # from_frame copies species + particles itself — no frame.copy()
+            self.presets.add(Preset.from_frame(name, frame))
 
     def send_preset(self, i: int) -> None:
         self._consume_send_and_clear()

@@ -665,16 +665,28 @@ class WebEditor:
     # -- controls -----------------------------------------------------------------
     def _persist_presets(self) -> None:
         """Presets survive restarts when --presets-dir is set: each preset is
-        a wire-format .frame file (io/presets.py save_dir/load_dir)."""
-        if self.presets_dir:
-            try:
-                self.editor.presets.save_dir(self.presets_dir)
-            except OSError:
-                pass
+        a wire-format .frame file (io/presets.py serialize_dir/write_dir).
+
+        Serialization (a memcpy) happens under self.lock; the disk write —
+        multi-second with large presets — happens OUTSIDE it so concurrent
+        /frame.bin and /stats polls never block on it. write_dir replaces
+        files atomically and cleans stale ones last, so a crash mid-save
+        keeps a loadable directory. Callers must NOT hold self.lock."""
+        if not self.presets_dir:
+            return
+        from particle_simulator_tpu.io.presets import Presets
+
+        with self.lock:
+            payloads = self.editor.presets.serialize_dir()
+        try:
+            Presets.write_dir(self.presets_dir, payloads)
+        except OSError:
+            pass
 
     def control(self, req: dict) -> None:
         e = self.editor
         action = req.get("action")
+        persist = False
         with self.lock:
             if action == "toggle_play":
                 e.toggle_play()
@@ -701,12 +713,7 @@ class WebEditor:
             elif action == "edit_begin":
                 e.begin_editing()
             elif action == "edit_begin_empty":
-                # "New preset from: empty frame" (editor.rs:1014-1030)
-                from particle_simulator_tpu.io.frame import Frame as _F
-
-                e.editing = True
-                e._edit_frame = _F.from_metadata(e.sim_params.copy())
-                e._edit_preset_index = None
+                e.begin_editing_empty()
             elif action == "toggle_send_clear":
                 e.next_send_and_clear = not e.next_send_and_clear
             elif action == "edit_resend":
@@ -715,7 +722,7 @@ class WebEditor:
                 e.cancel_editing()
             elif action == "preset_save":
                 e.save_preset(str(req.get("name", "preset")))
-                self._persist_presets()
+                persist = True
             elif action == "preset_send":
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets):
@@ -724,12 +731,12 @@ class WebEditor:
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets):
                     e.delete_preset(i)  # keeps an open preset edit's index coherent
-                    self._persist_presets()
+                    persist = True
             elif action == "preset_duplicate":
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets):
                     e.duplicate_preset(i)
-                    self._persist_presets()
+                    persist = True
             elif action == "preset_edit":
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets):
@@ -737,12 +744,14 @@ class WebEditor:
             elif action == "preset_update":
                 name = req.get("name")
                 e.update_preset(None if not name else str(name))
-                self._persist_presets()
+                persist = True
             elif action == "preset_rename":
                 i = int(req.get("index", -1))
                 if 0 <= i < len(e.presets) and req.get("name"):
                     e.rename_preset(i, str(req["name"]))
-                    self._persist_presets()
+                    persist = True
+        if persist:
+            self._persist_presets()  # re-locks briefly; disk write unlocked
 
     def tool(self, req: dict) -> dict:
         """Apply a drawing-tool stroke (editor.rs:1443-1607 toolbar semantics).

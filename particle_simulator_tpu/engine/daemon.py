@@ -197,10 +197,12 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
             print(f"engine: {meter.report()}{suffix}", file=sys.stderr)
             next_report = time.monotonic() + 30.0
 
-    def enqueue(ticket) -> None:
-        # capture the metadata the state was computed under, so a live edit
-        # never stamps queued older states with the new parameters
-        queue.append((ticket, sim.meta_record.copy()))
+    def enqueue(ticket, meta) -> None:
+        # stamp the ticket with the metadata snapshot taken when its frame
+        # was DISPATCHED (dispatched_meta below), so a live edit processed
+        # after the dispatch never stamps the older state with the new
+        # parameters — reading sim.meta_record here would be one edit late
+        queue.append((ticket, meta))
 
     def can_ship() -> bool:
         return max_frames is None or shipped < max_frames
@@ -214,6 +216,9 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
     # prime: echo the prepared first scene and dispatch its first frame
     ship()
     sim.frame_async()
+    # metadata snapshot at each dispatch — what the in-flight frame was
+    # actually computed under (update_metadata only affects the NEXT dispatch)
+    dispatched_meta = sim.meta_record.copy()
 
     while frontend.is_connected and (max_frames is None or shipped < max_frames):
         # Start the readback of the frame just dispatched BEFORE enqueueing
@@ -223,12 +228,14 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
         # hint only vouches raw states as jit outputs (the tunnel-wedge
         # rule, engine/state.py NOTE); compacted outputs are always hinted.
         prev_ticket = sim.start_readback(hint=sim.state_is_dispatched)
+        prev_meta = dispatched_meta
         sim.frame_async()  # enqueue NEXT frame's steps (overlaps readback below)
+        dispatched_meta = sim.meta_record.copy()
 
         incoming = frontend.read()
         if incoming is not None:
             if incoming.particle_count == 0:
-                sim.update_metadata(incoming)  # live param tweak
+                sim.update_metadata(incoming)  # live param tweak (next dispatch)
             else:
                 flush()  # ship pending pre-reset frames in order
                 sim.load_frame(incoming)  # full scene reset
@@ -240,9 +247,10 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
                 if can_ship():
                     ship()
                 sim.frame_async()
+                dispatched_meta = sim.meta_record.copy()
                 continue
 
-        enqueue(prev_ticket)
+        enqueue(prev_ticket, prev_meta)
         if len(queue) > readback_depth:
             ship(*queue.popleft())
     while queue and frontend.is_connected and (max_frames is None or shipped < max_frames):

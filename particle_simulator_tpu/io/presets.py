@@ -168,20 +168,43 @@ class Presets:
             self._presets[i] = preset
 
     # -- persistence -----------------------------------------------------------
-    def save_dir(self, directory) -> None:
-        """Write every preset as ``<index>__<name>.frame`` wire packets."""
-        import os
+    def serialize_dir(self) -> list:
+        """``[(filename, wire bytes)]`` for every preset — the in-memory half
+        of ``save_dir``, separable so a caller can snapshot under its lock and
+        do the (slow) disk write outside it."""
         import re
 
-        os.makedirs(directory, exist_ok=True)
-        for f in os.listdir(directory):
-            if f.endswith(".frame"):
-                os.unlink(os.path.join(directory, f))
+        out = []
         for i, preset in enumerate(self._presets):
             safe = re.sub(r"[^A-Za-z0-9_.-]", "_", preset.name) or "preset"
-            path = os.path.join(directory, f"{i:03d}__{safe}.frame")
-            with open(path, "wb") as fh:
-                fh.write(preset.to_frame().bytes)
+            out.append((f"{i:03d}__{safe}.frame", preset.to_frame().bytes))
+        return out
+
+    @staticmethod
+    def write_dir(directory, payloads) -> None:
+        """Write serialized presets as ``<index>__<name>.frame`` files.
+
+        Each file lands via write-to-temp + ``os.replace`` and stale files are
+        unlinked only AFTER the new set is on disk, so a crash mid-save leaves
+        a loadable mix of old and new presets instead of an empty directory."""
+        import os
+
+        os.makedirs(directory, exist_ok=True)
+        keep = set()
+        for fname, data in payloads:
+            path = os.path.join(directory, fname)
+            tmp = path + ".tmp"
+            with open(tmp, "wb") as fh:
+                fh.write(data)
+            os.replace(tmp, path)
+            keep.add(fname)
+        for f in os.listdir(directory):
+            if f.endswith(".frame") and f not in keep:
+                os.unlink(os.path.join(directory, f))
+
+    def save_dir(self, directory) -> None:
+        """Write every preset as ``<index>__<name>.frame`` wire packets."""
+        self.write_dir(directory, self.serialize_dir())
 
     @staticmethod
     def load_dir(directory) -> "Presets":

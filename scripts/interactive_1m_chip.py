@@ -15,8 +15,8 @@ Reported (one JSON line):
 - payloads_per_sec / payload_mb: sustained /frame.bin fetch rate under load
   (the WebGL client's data feed; one fetch per browser rAF tick, capped here
   by loopback HTTP)
-- limiter: which of the three stages (engine step rate, frame shipping,
-  payload encode/fetch) bounds the assembled loop
+- limiter: which side bounds the assembled loop — the engine feed
+  (compute + shipping, = engine_fps) or the /frame.bin fetch path
 
 Usage (TPU host):
     python scripts/interactive_1m_chip.py [--seconds 60] [--steps-per-frame 100]
@@ -120,7 +120,7 @@ def main(argv=None) -> int:
 
         # wait out connect + first compile until engine frames flow
         t0 = time.monotonic()
-        first = None
+        first = st = None
         while time.monotonic() - t0 < args.compile_wait:
             st = get_json(base, "/stats")
             if st["particle_count"] >= 0.9 * n_expect and st["frame_count"] >= 2:
@@ -177,6 +177,10 @@ def main(argv=None) -> int:
             "timeline_ram_mb": round(s1["timeline_ram"] / 1e6, 1),
             "first_frames_wait_s": round(ttff, 1),
             "device": s1["device"],
+            # which side bounds the assembled loop: the engine feed (compute
+            # + shipping = engine_fps) or the /frame.bin fetch path; the two
+            # rates above give the margin
+            "limiter": "engine" if engine_fps < payload_rate else "frame.bin-fetch",
         }
         print(json.dumps(result), flush=True)
         return 0

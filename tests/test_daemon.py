@@ -95,7 +95,7 @@ def test_daemon_ships_live_frames_over_tcp():
 
 def test_daemon_metadata_only_update_applies_live():
     server = new_tcp_server(("127.0.0.1", 0))
-    t = threading.Thread(target=run_daemon, args=(server.addr[1], 8), daemon=True)
+    t = threading.Thread(target=run_daemon, args=(server.addr[1], 64), daemon=True)
     t.start()
     reader, writer = accept_blocking(server)
 
@@ -111,7 +111,14 @@ def test_daemon_metadata_only_update_applies_live():
     assert update.particle_count == 0
     assert writer.write(update)
 
-    later = read_frames(reader, want=3)
+    # frames in flight when the edit lands keep their old stamp (they were
+    # computed under it); the new dt appears a couple of frames later
+    later = []
+    deadline = time.monotonic() + 60.0
+    while time.monotonic() < deadline:
+        later += read_frames(reader, want=1, timeout=10.0)
+        if later and abs(later[-1].metadata.step_dt - 1e-15) < 1e-20:
+            break
     assert later, "engine died after metadata-only frame"
     # metadata round-trips on outbound frames
     assert any(abs(f.metadata.step_dt - 1e-15) < 1e-20 for f in later)
@@ -693,3 +700,75 @@ def test_warm_start_marks_progressive_signature_hot(monkeypatch):
     # Pallas ran synchronously: warm key == frame key, no compile thread
     assert len(calls) == 2
     assert list(sim._pallas_status.values()) == ["ok"]
+
+
+def test_live_edit_never_restamps_inflight_frames():
+    """A live metadata edit must only stamp frames DISPATCHED after it: the
+    ticket queued for an in-flight frame carries the metadata snapshot taken
+    at its dispatch, not whatever sim.meta_record says at enqueue time
+    (r3 review finding: enqueue ran after update_metadata in the same
+    iteration, restamping the old-params frame with the new record)."""
+
+    class StubSim:
+        """Tracks, per dispatched frame, the meta epoch it was computed
+        under; read_frame logs what each shipped frame was stamped with."""
+
+        def __init__(self):
+            self.meta_record = {"steps_per_frame": 3}
+            self.state_is_dispatched = True
+            self.active_kernel = "bucket-pallas"
+            self.dispatched_under = []  # frame id -> steps_per_frame at dispatch
+            self.shipped_log = []  # (frame id | None, stamped steps | None)
+
+        def frame_async(self):
+            self.dispatched_under.append(self.meta_record["steps_per_frame"])
+
+        def start_readback(self, state=None, hint=False):
+            return len(self.dispatched_under) - 1  # ticket = last dispatched id
+
+        def update_metadata(self, frame):
+            self.meta_record = {"steps_per_frame": int(frame.metadata.steps_per_frame)}
+
+        def read_frame(self, state=None, meta=None):
+            self.shipped_log.append(
+                (state, None if meta is None else meta["steps_per_frame"]))
+            f = Frame.new()
+            if meta is not None:
+                f.metadata.steps_per_frame = meta["steps_per_frame"]
+            return f
+
+    class ScriptedFrontend:
+        """read() returns None except one metadata-only edit on poll #2."""
+
+        is_connected = True
+
+        def __init__(self):
+            self.polls = 0
+            self.frames = []
+
+        def read(self):
+            self.polls += 1
+            if self.polls == 2:
+                edit = Frame.new()
+                edit.metadata.steps_per_frame = 7
+                assert edit.particle_count == 0
+                return edit
+            return None
+
+        def write(self, frame):
+            self.frames.append(frame)
+
+    sim = StubSim()
+    main_loop(ScriptedFrontend(), sim, max_frames=8, readback_depth=1)
+
+    checked = 0
+    for ticket, stamped in sim.shipped_log:
+        if ticket is None:
+            continue  # the prime echo carries the current record by design
+        assert stamped == sim.dispatched_under[ticket], (
+            f"frame {ticket} computed under {sim.dispatched_under[ticket]} "
+            f"but stamped {stamped}")
+        checked += 1
+    assert checked >= 5
+    # and the edit did take effect for later dispatches
+    assert sim.dispatched_under[0] == 3 and sim.dispatched_under[-1] == 7
