@@ -148,6 +148,77 @@ def exchange_halo(state: ParticleState, ny: int, nx: int) -> ParticleState:
     return ParticleState(x, y, vx, vy, typ - 1)
 
 
+def _ship_pair(a, axis: int, axis_name: str, n: int, is_ty: bool):
+    """Ship this field's two edge slices along ``axis`` to both neighbors;
+    returns (lo_halo, hi_halo) — what THIS device receives (its low-side
+    halo = the previous device's high edge, and vice versa). ``is_ty``
+    applies the ty+1 encode around the ppermute so mesh-boundary zero-fill
+    decodes to the tombstone -1. Encoding only the shipped slice is
+    bit-identical to encoding the whole field first (slice commutes with
+    the elementwise +1) and skips a full-grid read/write per exchange."""
+    lo_edge = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
+    hi_edge = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], axis=axis)
+    if is_ty:
+        lo_edge = lo_edge + 1
+        hi_edge = hi_edge + 1
+    lo_halo = _shift_from_prev(hi_edge, axis_name, n)
+    hi_halo = _shift_from_next(lo_edge, axis_name, n)
+    if is_ty:
+        lo_halo = lo_halo - 1
+        hi_halo = hi_halo - 1
+    return lo_halo, hi_halo
+
+
+_IS_TY = (False, False, False, False, True)  # ParticleState field order
+
+
+def pad_x_state(state: ParticleState, nx: int) -> ParticleState:
+    """(ly, lx, cap) -> (ly, lx+2, cap): concat the x-neighbor halo columns.
+    The one whole-state copy of the padded-layout scheme — paid when a run
+    of steps begins (after a move), not per step."""
+    out = []
+    for a, is_ty in zip(state, _IS_TY):
+        lo, hi = _ship_pair(a, 1, AXIS_X, nx, is_ty)
+        out.append(jnp.concatenate([lo, a, hi], axis=1))
+    return ParticleState(*out)
+
+
+def refresh_x_cols(sp: ParticleState, nx: int) -> ParticleState:
+    """Refresh the halo columns of an x-padded (ly, lx+2, cap) grid in place:
+    ship the two INTERIOR edge columns (1 and lx) to the x-neighbors and
+    write what arrives into columns 0 and lx+1. Two one-column copies per
+    step instead of the whole-state concat + interior re-slice."""
+    out = []
+    for a, is_ty in zip(sp, _IS_TY):
+        lo_int = jax.lax.slice_in_dim(a, 1, 2, axis=1)
+        hi_int = jax.lax.slice_in_dim(a, a.shape[1] - 2, a.shape[1] - 1, axis=1)
+        if is_ty:
+            lo_int = lo_int + 1
+            hi_int = hi_int + 1
+        lo_halo = _shift_from_prev(hi_int, AXIS_X, nx)
+        hi_halo = _shift_from_next(lo_int, AXIS_X, nx)
+        if is_ty:
+            lo_halo = lo_halo - 1
+            hi_halo = hi_halo - 1
+        a = jax.lax.dynamic_update_slice_in_dim(a, lo_halo, 0, axis=1)
+        a = jax.lax.dynamic_update_slice_in_dim(a, hi_halo, a.shape[1] - 1, axis=1)
+        out.append(a)
+    return ParticleState(*out)
+
+
+def ship_edge_rows(sp: ParticleState, ny: int) -> tuple[ParticleState, ParticleState]:
+    """The (1, lx+2, cap) top/bottom neighbor rows of an x-padded grid whose
+    halo columns are CURRENT. The shipped rows include those columns, so each
+    device's top/bottom row carries its y-neighbor's x-halo corners — the
+    same "y-phase ships x-padded rows" corner rule as ``exchange_halo``."""
+    tops, bottoms = [], []
+    for a, is_ty in zip(sp, _IS_TY):
+        top, bottom = _ship_pair(a, 0, AXIS_Y, ny, is_ty)
+        tops.append(top)
+        bottoms.append(bottom)
+    return ParticleState(*tops), ParticleState(*bottoms)
+
+
 def exchange_halo_x_rows(
     state: ParticleState, ny: int, nx: int
 ) -> tuple[ParticleState, ParticleState, ParticleState]:
@@ -156,33 +227,15 @@ def exchange_halo_x_rows(
 
     Produces bit-identical data to ``exchange_halo`` followed by slicing the
     interior rows and the two edge rows back out — without materializing the
-    (ly+2, lx+2) y-concat or re-slicing the (ly, lx+2) interior. Those two
-    ops are full copies of the local state (~2x 20 MB/step at 1M), the bulk
-    of the 1x1-mesh shard overhead BASELINE.md measured at 15.7%; the x-pad
-    concat stays because the kernel's lane axis needs contiguous lx+2
-    columns. Corner propagation is preserved: the shipped edge rows are
-    already x-padded, so each device's top/bottom row carries its y-neighbor's
-    x-halo corners (the same "y-phase ships x-padded rows" rule as
-    ``exchange_halo``).
-    """
-    fields = (state.x, state.y, state.vx, state.vy, (state.ty + 1).astype(jnp.int32))
-
-    def pad_x(a):
-        lo_edge = jax.lax.slice_in_dim(a, 0, 1, axis=1)
-        hi_edge = jax.lax.slice_in_dim(a, a.shape[1] - 1, a.shape[1], axis=1)
-        lo_halo = _shift_from_prev(hi_edge, AXIS_X, nx)
-        hi_halo = _shift_from_next(lo_edge, AXIS_X, nx)
-        return jnp.concatenate([lo_halo, a, hi_halo], axis=1)
-
-    xp = tuple(pad_x(a) for a in fields)
-    top = tuple(_shift_from_prev(a[-1:], AXIS_Y, ny) for a in xp)
-    bottom = tuple(_shift_from_next(a[:1], AXIS_Y, ny) for a in xp)
-
-    def decode(fs):
-        x, y, vx, vy, typ = fs
-        return ParticleState(x, y, vx, vy, typ - 1)
-
-    return decode(xp), decode(top), decode(bottom)
+    (ly+2, lx+2) y-concat or re-slicing the (ly, lx+2) interior (two full
+    copies of the local state per step, the bulk of the 15.7% 1x1-mesh shard
+    overhead BASELINE.md measured for the r3 pre-copy-light runner). The
+    sharded step itself goes further and keeps the grid PERSISTENTLY
+    x-padded across a step run (pad_x_state / refresh_x_cols /
+    ship_edge_rows); this composition remains for tests and one-shot use."""
+    xp = pad_x_state(state, nx)
+    top, bottom = ship_edge_rows(xp, ny)
+    return xp, top, bottom
 
 
 # ---------------------------------------------------------------------------
@@ -200,10 +253,14 @@ def _local_frame(
     """Per-device body: steps_per_frame physics steps with halo exchange before
     each step and a migration/rebucket pass on the reference's cadence.
 
-    ``kernel="pallas"`` runs the Pallas step kernel on the halo-padded local
-    grid and slices the interior back out — the halo ring's outputs are
-    recomputed waste ((ly+2)(lx+2)/(ly*lx), a few percent at production shard
-    sizes) in exchange for the VMEM-resident force pass on every chip.
+    ``kernel="pallas"`` threads the local grid through the schedule
+    PERSISTENTLY x-padded (ly, lx+2, cap): per step only the two halo
+    columns refresh (ppermute + in-place column writes) and two x-padded
+    edge rows ship; the whole-state pad/unpad copies happen at move cadence
+    (every 16 steps) and at the frame boundary. The halo columns' kernel
+    outputs are recomputed waste (2/lx, sub-percent at production shard
+    sizes) overwritten by the refresh — the price of the VMEM-resident
+    force pass on every chip.
 
     The single-chip runner's ``lane_chunks`` column skip is NOT plumbed here:
     the x-halo columns join the lane axis, so lanes span lx+2 buckets — never
@@ -220,59 +277,74 @@ def _local_frame(
     def nbr_of(s):
         return stack9(exchange_halo(s, ny, nx))
 
-    # Migration/rebucket: the direct shard-aware pass (elementwise ranks, no
-    # argsort over the 9*CAP neighborhood axis — ARCHITECTURE.md section 4
-    # measured the sort-based pass at ~13x the direct one at 1M). The pallas
-    # variant also replaces the XLA scatter with the pull-place kernel, the
-    # same op profile as the single-chip bucket_move_pallas.
-    if kernel == "pallas":
-        from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas_halo
-
-        def move(s):
-            return bucket_move_pallas_halo(
-                exchange_halo(s, ny, nx), cfg.bx_log2, cfg.by_log2,
-                row_offset, col_offset, interpret=interpret,
-            )
-
-    else:
-
-        def move(s):
-            return bucket_move_direct_halo(
-                exchange_halo(s, ny, nx), cfg.bx_log2, cfg.by_log2,
-                row_offset, col_offset,
-            )
-
-    if kernel == "pallas":
-        from particle_simulator_tpu.ops.bucket_pallas import bucket_step_pallas
-
-        def step(s):
-            # The x-halo columns join the row data (lanes span lx+2 buckets);
-            # the y-halo rows ride the kernel's packed edge-row input so the
-            # local grid keeps its 8/16-row blocking instead of becoming an
-            # unblockable (ly+2)-row array (VERDICT r1: production shards like
-            # 128x4096 must NOT fall back to a whole-array VMEM block).
-            # exchange_halo_x_rows ships only what the kernel consumes — the
-            # full (ly+2, lx+2) concat + interior re-slice would cost two
-            # whole-state copies per step (the bulk of the 1x1 shard overhead).
-            xp, top, bottom = exchange_halo_x_rows(s, ny, nx)
-            out = bucket_step_pallas(
-                xp, p, interpret=interpret, edge_rows=(top, bottom)
-            )
-            return ParticleState(*(a[:, 1:-1] for a in out))
-
-    else:
-
-        def step(s):
-            return bucket_step_nbr(s, nbr_of(s), p)
-
     # chunked cadence, identical op sequence to the reference's per-step
     # `if i % k == 1: move` schedule without a branch per step; unrolled
     # chunks only on real TPU (virtual CPU meshes prefer the small trace)
     from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
 
+    unroll = jax.default_backend() == "tpu"
+
+    if kernel == "pallas":
+        # The grid threads through the schedule PERSISTENTLY x-padded
+        # (ly, lx+2, cap): the x-halo columns join the kernel's lane axis and
+        # the y-halo rows ride its packed edge-row input, so the local grid
+        # keeps its 8/16-row blocking (VERDICT r1: production shards like
+        # 128x4096 must NOT fall back to a whole-array VMEM block). Per step
+        # only the two halo COLUMNS are refreshed (refresh_x_cols) and two
+        # edge ROWS shipped — the whole-state x-concat + interior re-slice
+        # that a per-step exchange pays (the bulk of the measured 15.7%
+        # 1x1-mesh shard overhead) happens only at move cadence.
+        from particle_simulator_tpu.ops.bucket_pallas import (
+            bucket_move_pallas_halo,
+            bucket_step_pallas,
+        )
+
+        def step(sp):
+            top, bottom = ship_edge_rows(sp, ny)
+            out = bucket_step_pallas(sp, p, interpret=interpret,
+                                     edge_rows=(top, bottom))
+            # the kernel's outputs for the halo columns are stale recompute;
+            # overwrite them with the x-neighbors' fresh interior edges
+            return refresh_x_cols(out, nx)
+
+        # Migration/rebucket: the direct shard-aware pass (elementwise ranks,
+        # no argsort over the 9*CAP neighborhood axis — ARCHITECTURE.md
+        # section 4 measured the sort-based pass at ~13x the direct one at
+        # 1M) + the pull-place kernel (no XLA scatter), the same op profile
+        # as the single-chip bucket_move_pallas.
+        def move(sp):
+            # (ly+2, lx+2) halo grid from the padded state's own CURRENT
+            # x-halo columns plus freshly shipped edge rows — bit-identical
+            # to exchange_halo on the interior (two-phase corners ride the
+            # x-padded rows), one y-concat instead of x-concat + y-concat
+            top, bottom = ship_edge_rows(sp, ny)
+            halo = ParticleState(*(
+                jnp.concatenate([t, a, b], axis=0)
+                for t, a, b in zip(top, sp, bottom)
+            ))
+            moved = bucket_move_pallas_halo(
+                halo, cfg.bx_log2, cfg.by_log2,
+                row_offset, col_offset, interpret=interpret,
+            )
+            return pad_x_state(moved, nx)
+
+        padded = chunked_frame_schedule(
+            pad_x_state(state, nx), p.steps_per_frame, cfg.move_every,
+            step, move, unroll=unroll,
+        )
+        return ParticleState(*(a[:, 1:-1] for a in padded))
+
+    def move(s):
+        return bucket_move_direct_halo(
+            exchange_halo(s, ny, nx), cfg.bx_log2, cfg.by_log2,
+            row_offset, col_offset,
+        )
+
+    def step(s):
+        return bucket_step_nbr(s, nbr_of(s), p)
+
     return chunked_frame_schedule(
-        state, p.steps_per_frame, cfg.move_every, step, move,
-        unroll=jax.default_backend() == "tpu",
+        state, p.steps_per_frame, cfg.move_every, step, move, unroll=unroll,
     )
 
 
