@@ -130,6 +130,47 @@ def test_halo_exchange_x_rows_bit_identical_to_full_pad():
             np.testing.assert_array_equal(a, b, err_msg=f"{which}.{name}")
 
 
+def test_refresh_x_cols_matches_repad():
+    """refresh_x_cols (the persistent-padded layout's per-step halo-column
+    update) must leave the padded grid bit-identical to re-padding its
+    interior from scratch — including the ty tombstone decode at the mesh
+    boundary — after the interior has changed (as a step changes it) and the
+    halo columns have gone stale."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    import jax.numpy as jnp
+    from particle_simulator_tpu.engine.state import ParticleState
+    from particle_simulator_tpu.parallel.domain import pad_x_state, refresh_x_cols
+
+    cfg = GridConfig(4, 4, 4)
+    state, params = scene_grid(cfg, nx=12, ny=12, vel=(0.0, 80.0))
+
+    mesh = make_mesh(n_devices=8)
+    ny, nx = mesh.devices.shape
+    spec = ParticleState(*([P("dy", "dx", None)] * 5))
+
+    def body(s):
+        sp = pad_x_state(s, nx)
+        # perturb EVERY field everywhere (halo columns included — they are
+        # stale garbage the refresh must fully overwrite), like a step would
+        sp = ParticleState(
+            x=sp.x + jnp.uint32(3),
+            y=sp.y ^ jnp.uint32(0x55),
+            vx=sp.vx * jnp.float32(1.5) + jnp.float32(1.0),
+            vy=sp.vy - jnp.float32(2.0),
+            ty=jnp.where((sp.x % 7 == 0) & (sp.ty >= 0), 1, sp.ty),
+        )
+        got = refresh_x_cols(sp, nx)
+        interior = ParticleState(*(a[:, 1:-1] for a in sp))
+        ref = pad_x_state(interior, nx)
+        return got, ref
+
+    run = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec))
+    got, ref = jax.tree.map(np.asarray, run(shard_state(state, mesh)))
+    for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_array_equal(a, b, err_msg=name)
+
+
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
 def test_sharded_frame_matches_single_device(n_devices):
     """Sharded multi-frame run == single-device run, including the
