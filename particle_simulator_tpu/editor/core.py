@@ -207,6 +207,14 @@ class Editor:
             self.play_time = 0.0
             self.next_send_and_clear = False
 
+    def clear_timeline(self) -> None:
+        """The "Clear Timeline" button (editor.rs:1299-1301): free the stored
+        frame history (the RAM gauge drops to zero) without touching the
+        running scene — the engine keeps streaming and history re-accumulates
+        from now."""
+        self.timeline.clear()
+        self.play_time = 0.0
+
     def clear_scene(self) -> None:
         """The C shortcut. A frame with particle_count == 0 would be a
         metadata-only update, not a reset — so an all-clear ships one tombstone

@@ -89,6 +89,7 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
     <button onclick="ctl('seek_live')">live</button>
     <button onclick="ctl('lattice')">lattice</button>
     <button onclick="ctl('clear')">clear</button>
+    <button onclick="ctl('clear_timeline')" title="free the stored frame history (Timeline RAM)">clear timeline</button>
     <button onclick="ctl('disconnect')">disconnect</button>
   </div>
   <label>play speed (log s/s) <input type="range" id="speed" min="-15" max="0" step="0.1" value="-11.3"
@@ -702,6 +703,8 @@ class WebEditor:
                 )
             elif action == "clear":
                 e.clear_scene()
+            elif action == "clear_timeline":
+                e.clear_timeline()  # editor.rs:1299 — frees history RAM only
             elif action == "disconnect":
                 e.disconnect()
             elif action == "speed":

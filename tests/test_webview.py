@@ -426,3 +426,38 @@ def test_clear_and_send_next_wipes_timeline(ui):
     stats = json.loads(get(base, "/stats"))
     assert not stats["send_clear"]  # one-shot
     assert stats["frame_count"] <= 1  # wiped (the new scene may have echoed)
+
+
+def test_clear_timeline_through_http(ui):
+    """The "Clear Timeline" button (editor.rs:1299-1301): frees the stored
+    frame history — the RAM gauge drops to zero — without clearing the scene
+    or breaking subsequent pushes."""
+    import time
+
+    web, base = ui
+    post(base, "/control", {"action": "lattice", "nx": 4, "ny": 4})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        with web.lock:
+            web.editor.tick(0.01)  # pump the loopback (no engine attached)
+        if json.loads(get(base, "/stats"))["timeline_ram"] > 0:
+            break
+        time.sleep(0.05)
+    assert json.loads(get(base, "/stats"))["timeline_ram"] > 0
+
+    post(base, "/control", {"action": "clear_timeline"})
+    stats = json.loads(get(base, "/stats"))
+    assert stats["timeline_ram"] == 0
+    assert stats["frame_count"] == 0
+
+    # history re-accumulates from subsequent frames (no engine attached
+    # here, so push a new scene through the loopback to generate one)
+    post(base, "/control", {"action": "lattice", "nx": 4, "ny": 4})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        with web.lock:
+            web.editor.tick(0.01)
+        if json.loads(get(base, "/stats"))["timeline_ram"] > 0:
+            break
+        time.sleep(0.05)
+    assert json.loads(get(base, "/stats"))["timeline_ram"] > 0
