@@ -90,22 +90,31 @@ class Backend:
         try:
             return self._reader.read()
         except Disconnected:
-            self.close_connection()
+            # only the reader half dies (backend.rs:160-173): a file/pipe
+            # writer keeps recording after the replay stream ends, and a dead
+            # TCP socket surfaces on the next write anyway
+            self._reader.close()
+            self._reader = None
             self.connection_details = "backend disconnected (read)"
             return None
 
     def write(self, frame: Frame) -> None:
-        """Send a frame to the engine; with no engine, queue it to loopback so
-        the editor consumes its own frame next read (the built-in fake
-        backend, backend.rs:176-188)."""
+        """Send a frame to the engine; with no backend at all, queue it to
+        loopback so the editor consumes its own frame next read (the built-in
+        fake backend, backend.rs:176-188). Like the reference, the writer
+        half fails independently of the reader (backend.rs:176-190), and a
+        missing writer only falls back to loopback when the reader is gone
+        too — mid-replay sends are dropped, not echoed."""
         self._try_accept()
         if self._writer is None:
-            self._loopback.append(frame.copy())
+            if self._reader is None:
+                self._loopback.append(frame.copy())
             return
         if not self._writer.write(frame):
-            self.close_connection()
+            self._writer = None
             self.connection_details = "backend disconnected (write)"
-            self._loopback.append(frame.copy())
+            if self._reader is None:
+                self._loopback.append(frame.copy())
 
     def close(self) -> None:
         self.close_connection()

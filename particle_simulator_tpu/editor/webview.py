@@ -91,6 +91,7 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
     <button onclick="ctl('clear')">clear</button>
     <button onclick="ctl('clear_timeline')" title="free the stored frame history (Timeline RAM)">clear timeline</button>
     <button onclick="ctl('disconnect')">disconnect</button>
+    <button onclick="ctl('connect_files')" title="connect via ./backend_out.bin / ./backend_in.bin">files/pipes</button>
   </div>
   <label>play speed (log s/s) <input type="range" id="speed" min="-15" max="0" step="0.1" value="-11.3"
     oninput="ctl('speed', {value: Math.pow(10, this.value)})"></label>
@@ -707,6 +708,17 @@ class WebEditor:
                 e.clear_timeline()  # editor.rs:1299 — frees history RAM only
             elif action == "disconnect":
                 e.disconnect()
+            elif action == "connect_files":
+                # the reference's "Files / Pipes" backend button
+                # (editor.rs:839-841, backend.rs:70-105); default paths match
+                # it (its read_path/write_path literals), overridable per
+                # request. A missing file is a status line, not a 500.
+                in_path = str(req.get("in", "./backend_out.bin"))
+                out_path = str(req.get("out", "./backend_in.bin"))
+                try:
+                    e.backend.open_backend_files(in_path, out_path)
+                except OSError as err:
+                    e.backend.connection_details = f"files: {err}"
             elif action == "speed":
                 e.play_speed = float(req.get("value", e.play_speed))
             elif action == "seek_frac":

@@ -461,3 +461,61 @@ def test_clear_timeline_through_http(ui):
             break
         time.sleep(0.05)
     assert json.loads(get(base, "/stats"))["timeline_ram"] > 0
+
+
+def test_connect_files_through_http(ui, tmp_path):
+    """The reference's "Files / Pipes" backend button (editor.rs:839-841):
+    switch the editor backend to file transport — replay an engine-recorded
+    stream in, record outgoing scene sends out."""
+    import time
+
+    from particle_simulator_tpu.io.frame import Frame
+    from particle_simulator_tpu.io.presets import ParticleLattice
+    from particle_simulator_tpu.io.transport import Reader, Writer
+
+    web, base = ui
+
+    # an "engine output" recording: two frames with particles
+    in_path = tmp_path / "backend_out.bin"
+    out_path = tmp_path / "backend_in.bin"
+    w = Writer.open_file(str(in_path))
+    for i in range(2):
+        f = Frame.new()
+        lat = ParticleLattice((3 + i, 3), distance_factor=4.0)
+        lat.hex_square(
+            f, (f.metadata.box_width / 2, f.metadata.box_height / 2),
+            rng=np.random.default_rng(i),
+        )
+        assert w.write(f)
+    w.close()
+
+    post(base, "/control", {"action": "connect_files",
+                            "in": str(in_path), "out": str(out_path)})
+    assert "files" in json.loads(get(base, "/stats"))["connection"]
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        with web.lock:
+            web.editor.tick(0.01)
+        if json.loads(get(base, "/stats"))["frame_count"] >= 2:
+            break
+        time.sleep(0.05)
+    stats = json.loads(get(base, "/stats"))
+    assert stats["frame_count"] >= 2
+
+    # outgoing scene sends land in the out file as valid frames
+    post(base, "/control", {"action": "lattice", "nx": 4, "ny": 4})
+    with web.lock:
+        web.editor.backend._writer._stream.flush()
+    r = Reader.open_file(str(out_path))
+    deadline = time.monotonic() + 10
+    sent = None
+    while sent is None and time.monotonic() < deadline:
+        sent = r.read()
+        time.sleep(0.02)
+    r.close()
+    assert sent is not None and sent.particle_count == 16
+
+    # a missing in-file is a status line, not a 500
+    post(base, "/control", {"action": "connect_files", "in": str(tmp_path / "nope.bin"),
+                            "out": str(out_path)})
+    assert "files" in json.loads(get(base, "/stats"))["connection"]
