@@ -216,10 +216,11 @@ class Editor:
         self.play_time = 0.0
 
     def clear_scene(self) -> None:
-        """The C shortcut. A frame with particle_count == 0 would be a
-        metadata-only update, not a reset — so an all-clear ships one tombstone
-        particle, which the engine's scene prep compacts away to an empty
-        scene."""
+        """Empty-scene send (an extension; the reference's C shortcut clears
+        the TIMELINE, editor.rs:770-772 — that's ``clear_timeline``). A frame
+        with particle_count == 0 would be a metadata-only update, not a reset
+        — so an all-clear ships one tombstone particle, which the engine's
+        scene prep compacts away to an empty scene."""
         frame = Frame.from_metadata(self.sim_params.copy())
         tomb = np.zeros(1, dtype=PARTICLE_DTYPE)
         tomb["ty"] = -1

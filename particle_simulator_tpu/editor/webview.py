@@ -181,7 +181,7 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
   <div id="stats"></div>
   <div style="font-size:11px;color:#666;margin-top:8px">
     <kbd>space</kbd> play <kbd>&larr;&rarr;</kbd> seek <kbd>L</kbd> lattice
-    <kbd>C</kbd> clear <kbd>D</kbd> disconnect <kbd>B</kbd>rush <kbd>E</kbd>raser
+    <kbd>C</kbd> clear timeline <kbd>X</kbd> clear scene <kbd>D</kbd> disconnect <kbd>B</kbd>rush <kbd>E</kbd>raser
     <kbd>S</kbd>peed <kbd>V</kbd> cursor <kbd>enter</kbd> resend <kbd>esc</kbd> cancel
   </div>
 </div>
@@ -265,7 +265,8 @@ document.onkeydown = e => {
   else if (k === 'arrowleft') ctl('seek_frames', {delta: e.shiftKey ? -10 : -1});
   else if (k === 'arrowright') ctl('seek_frames', {delta: e.shiftKey ? 10 : 1});
   else if (k === 'l') ctl('lattice');
-  else if (k === 'c') ctl('clear');
+  else if (k === 'c') ctl('clear_timeline');  // editor.rs:770-772: C = simulation.clear()
+  else if (k === 'x') ctl('clear');           // extension: empty-scene send
   else if (k === 'd') ctl('disconnect');
   else if (k === 'b') setTool('brush');
   else if (k === 'e') setTool('eraser');
