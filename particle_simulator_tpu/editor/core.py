@@ -345,8 +345,12 @@ class Editor:
     def stats(self) -> dict:
         frame = self.current_frame()
         idx = self.timeline.frame_index_at(self.play_time)
+        located = self.timeline.frame(self.play_time)
         return {
             "time": self.play_time,
+            "frame_time": located[1] if located else None,  # "Frame Time x / len"
+            "sim_len": self.timeline.sim_len(),
+            "step_dt": float(self.sim_params["step_dt"]),
             "frame_index": idx,
             "frame_count": self.timeline.frame_count,
             "particle_count": frame.particle_count if frame else 0,

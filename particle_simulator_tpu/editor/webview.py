@@ -512,7 +512,10 @@ function drawOverlay() {
 function statsText(s) {
   const lines = [
     'time: ' + fmtNum(s.time, 's'),
+    'frame time: ' + (s.frame_time === null ? '-' : fmtNum(s.frame_time, 's'))
+      + ' / ' + fmtNum(s.sim_len, 's'),
     'frame: ' + (s.frame_index === null ? '-' : s.frame_index) + ' / ' + s.frame_count,
+    'step dt: ' + fmtNum(s.step_dt, 's'),
     'particles: ' + fmtNum(s.particle_count, ''),
     'data structure: ' + s.data_structure,
     'device: ' + s.device,
