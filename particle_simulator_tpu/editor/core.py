@@ -181,19 +181,21 @@ class Editor:
         self.last_scene = frame.copy()  # for re-send on engine (re)connect
 
     def send_lattice(self, nx: int = 50, ny: int = 50, distance_factor: float = 1.1,
-                     velocity=(0.0, 0.0), hex_grid: bool = True,
+                     velocity=(0.0, 0.0), hex_grid: bool = True, ty: int = 0,
                      rng: Optional[np.random.Generator] = None) -> Frame:
         """The L shortcut / "Hexagonal Square" button: a lattice centered in
         the box under the current params (editor.rs:928-942; the default
-        interactive scene is 50x50, editor.rs:178-182)."""
+        interactive scene is 50x50, editor.rs:178-182). ``velocity`` is the
+        (min, max) magnitude range and ``ty`` the species — the reference's
+        lattice sub-panel knobs (editor.rs:878-925)."""
         frame = Frame.from_metadata(self.sim_params.copy())
         meta = frame.metadata
         lat = ParticleLattice((nx, ny), distance_factor=distance_factor, velocity=velocity)
         center = (meta.box_width / 2, meta.box_height / 2)
         if hex_grid:
-            lat.hex_square(frame, center, rng=rng)
+            lat.hex_square(frame, center, ty=ty, rng=rng)
         else:
-            lat.square(frame, center, rng=rng)
+            lat.square(frame, center, ty=ty, rng=rng)
         self._consume_send_and_clear()
         self.send_scene(frame)
         return frame

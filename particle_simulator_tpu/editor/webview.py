@@ -87,12 +87,21 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
     <button id="b_play" onclick="ctl('toggle_play')">play/pause</button>
     <button id="b_loop" onclick="ctl('toggle_loop')">loop</button>
     <button onclick="ctl('seek_live')">live</button>
-    <button onclick="ctl('lattice')">lattice</button>
+    <button onclick="ctl('lattice', latticeOpts())">lattice</button>
     <button onclick="ctl('clear')">clear</button>
     <button onclick="ctl('clear_timeline')" title="free the stored frame history (Timeline RAM)">clear timeline</button>
     <button onclick="ctl('disconnect')">disconnect</button>
     <button onclick="ctl('connect_files')" title="connect via ./backend_out.bin / ./backend_in.bin">files/pipes</button>
   </div>
+  <details><summary style="font-size:12px;cursor:pointer">lattice options</summary>
+    <label>size <input type="number" id="lnx" value="50" min="1" style="width:56px">
+      x <input type="number" id="lny" value="50" min="1" style="width:56px"></label>
+    <label>distance factor <input type="number" id="ldf" value="1.1" step="0.05" style="width:64px"></label>
+    <label>velocity min/max (m/s) <input type="number" id="lvmin" value="0" style="width:56px">
+      &ndash; <input type="number" id="lvmax" value="0" style="width:56px"></label>
+    <label>species <select id="lty"><option value="0" selected>0</option><option value="1">1</option></select>
+      grid <select id="lhex"><option value="1" selected>hexagonal</option><option value="">square</option></select></label>
+  </details>
   <label>play speed (log s/s) <input type="range" id="speed" min="-15" max="0" step="0.1" value="-11.3"
     oninput="ctl('speed', {value: Math.pow(10, this.value)})"></label>
   <label>seek <input type="range" id="seek" min="0" max="1000" value="1000"
@@ -203,6 +212,17 @@ const gl = glc.getContext('webgl', {antialias: false, preserveDrawingBuffer: tru
 
 function post(url, body) { return fetch(url, {method: 'POST', body: JSON.stringify(body || {})}); }
 function ctl(action, extra) { return post('/control', Object.assign({action}, extra)); }
+function latticeOpts() {  /* the lattice sub-panel (editor.rs:878-942) */
+  return {
+    nx: parseInt(document.getElementById('lnx').value) || 50,
+    ny: parseInt(document.getElementById('lny').value) || 50,
+    distance_factor: parseFloat(document.getElementById('ldf').value) || 1.1,
+    vmin: parseFloat(document.getElementById('lvmin').value) || 0,
+    vmax: parseFloat(document.getElementById('lvmax').value) || 0,
+    ty: parseInt(document.getElementById('lty').value) || 0,
+    hex: !!document.getElementById('lhex').value,
+  };
+}
 function param(name, value) { post('/params', {[name]: value}); }
 
 // ---- tools ----
@@ -264,7 +284,7 @@ document.onkeydown = e => {
   if (k === ' ') { ctl('toggle_play'); e.preventDefault(); }
   else if (k === 'arrowleft') ctl('seek_frames', {delta: e.shiftKey ? -10 : -1});
   else if (k === 'arrowright') ctl('seek_frames', {delta: e.shiftKey ? 10 : 1});
-  else if (k === 'l') ctl('lattice');
+  else if (k === 'l') ctl('lattice', latticeOpts());
   else if (k === 'c') ctl('clear_timeline');  // editor.rs:770-772: C = simulation.clear()
   else if (k === 'x') ctl('clear');           // extension: empty-scene send
   else if (k === 'd') ctl('disconnect');
@@ -701,10 +721,15 @@ class WebEditor:
             elif action == "seek_live":
                 e.seek_live()
             elif action == "lattice":
+                # full lattice sub-panel (editor.rs:878-942): size, distance
+                # factor, min/max velocity magnitude, species, hex/square
                 e.send_lattice(
                     int(req.get("nx", 50)), int(req.get("ny", 50)),
                     distance_factor=float(req.get("distance_factor", 1.1)),
+                    velocity=(float(req.get("vmin", 0.0)),
+                              float(req.get("vmax", req.get("vmin", 0.0)))),
                     hex_grid=bool(req.get("hex", True)),
+                    ty=int(req.get("ty", 0)),
                 )
             elif action == "clear":
                 e.clear_scene()

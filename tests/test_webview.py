@@ -519,3 +519,29 @@ def test_connect_files_through_http(ui, tmp_path):
     post(base, "/control", {"action": "connect_files", "in": str(tmp_path / "nope.bin"),
                             "out": str(out_path)})
     assert "files" in json.loads(get(base, "/stats"))["connection"]
+
+
+def test_lattice_velocity_range_and_species_through_http(ui):
+    """The lattice sub-panel knobs (editor.rs:878-925): size, distance
+    factor, min/max velocity magnitude, and species reach the generated
+    scene through the lattice control."""
+    import time
+
+    web, base = ui
+    post(base, "/control", {"action": "lattice", "nx": 6, "ny": 5,
+                            "distance_factor": 3.0, "vmin": 100.0,
+                            "vmax": 200.0, "ty": 1, "hex": False})
+    deadline = time.monotonic() + 10
+    while time.monotonic() < deadline:
+        with web.lock:
+            web.editor.tick(0.01)
+        if json.loads(get(base, "/stats"))["frame_count"] >= 1:
+            break
+        time.sleep(0.05)
+
+    frame, _ = web.editor.display_frame()
+    live = frame.particles[frame.particles["ty"] >= 0]
+    assert len(live) == 30
+    assert (live["ty"] == 1).all()
+    speed = np.hypot(live["vx"], live["vy"])
+    assert (speed >= 100.0 - 1e-3).all() and (speed <= 200.0 + 1e-3).all()
