@@ -143,9 +143,16 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
   <label>cursor size <input type="range" id="csize" min="0.01" max="0.5" step="0.01" value="0.05"
     oninput="param('cursor_size', parseFloat(this.value))"></label>
   <label>dt (fs) <input type="range" id="dt" min="1" max="100" step="1" value="50"
-    oninput="param('step_dt', this.value * 1e-15)"></label>
+    oninput="param('step_dt', this.value * 1e-15); updFrameDt()"></label>
   <label>steps/frame <input type="range" id="spf" min="1" max="500" step="1" value="100"
-    oninput="param('steps_per_frame', parseInt(this.value))"></label>
+    oninput="param('steps_per_frame', parseInt(this.value)); updFrameDt()"></label>
+  <div id="framedt" style="font-size:11px;color:#8f93a8"></div>
+  <label>box width (nm) <input type="number" id="pboxw" value="50" step="5" min="1" style="width:64px"
+    onchange="param('box_width', this.value * 1e-9)">
+   height (nm) <input type="number" id="pboxh" value="50" step="5" min="1" style="width:64px"
+    onchange="param('box_height', this.value * 1e-9)"></label>
+  <label>gpu threads/block (log2) <input type="range" id="pgtb" min="0" max="10" step="1" value="7"
+    oninput="param('gpu_threads_per_block_log2', parseInt(this.value))"></label>
   <label>sigma (A) <input type="range" min="1" max="10" step="0.05" value="3.609"
     oninput="param('sigma0', this.value * 1e-10)"></label>
   <label>epsilon (K·kB) <input type="range" min="10" max="500" step="1" value="106"
@@ -212,6 +219,12 @@ const gl = glc.getContext('webgl', {antialias: false, preserveDrawingBuffer: tru
 
 function post(url, body) { return fetch(url, {method: 'POST', body: JSON.stringify(body || {})}); }
 function ctl(action, extra) { return post('/control', Object.assign({action}, extra)); }
+function updFrameDt() {  /* "Frame delta time" readout (editor.rs:1115-1118) */
+  const dt = parseFloat(document.getElementById('dt').value) * 1e-15;
+  const spf = parseInt(document.getElementById('spf').value);
+  document.getElementById('framedt').textContent =
+    'frame delta time: ' + fmtNum(dt * spf, 's');
+}
 function latticeOpts() {  /* the lattice sub-panel (editor.rs:878-942) */
   return {
     nx: parseInt(document.getElementById('lnx').value) || 50,
@@ -314,6 +327,7 @@ async function presetSave() {
   presetRefresh();
 }
 presetRefresh();
+updFrameDt();
 
 // ---- WebGL point renderer (one draw call; graphics.rs:311 analog) ----
 const VS = `

@@ -545,3 +545,16 @@ def test_lattice_velocity_range_and_species_through_http(ui):
     assert (live["ty"] == 1).all()
     speed = np.hypot(live["vx"], live["vy"])
     assert (speed >= 100.0 - 1e-3).all() and (speed <= 200.0 + 1e-3).all()
+
+
+def test_box_size_and_gpu_threads_params_through_http(ui):
+    """Box width/height and Gpu threads/block are Parameters-panel inputs in
+    the reference (editor.rs:1131-1148,1181-1186); they must reach
+    sim_params through /params like every other knob."""
+    web, base = ui
+    post(base, "/params", {"box_width": 8e-8, "box_height": 2.5e-8,
+                           "gpu_threads_per_block_log2": 5})
+    sp = web.editor.sim_params
+    assert float(sp["box_width"]) == pytest.approx(8e-8)
+    assert float(sp["box_height"]) == pytest.approx(2.5e-8)
+    assert int(sp["gpu_threads_per_block_log2"]) == 5
