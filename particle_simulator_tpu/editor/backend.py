@@ -49,6 +49,14 @@ class Backend:
     def is_connected(self) -> bool:
         return self._reader is not None
 
+    def reader_connected(self) -> bool:
+        """backend.rs:126-128 — the half-connections report independently."""
+        return self._reader is not None
+
+    def writer_connected(self) -> bool:
+        """backend.rs:130-132."""
+        return self._writer is not None
+
     def tcp_server_status(self) -> str:
         if self._server is None:
             return f"tcp server error: {self._server_error}" if self._server_error else "tcp off"

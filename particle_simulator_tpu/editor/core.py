@@ -361,4 +361,8 @@ class Editor:
             "timeline_ram": self.timeline.timeline_ram,
             "interactive": self.is_interactive(),
             "connection": self.backend.connection_details,
+            # independent half-connection states (backend.rs:126-158)
+            "reader_connected": self.backend.reader_connected(),
+            "writer_connected": self.backend.writer_connected(),
+            "tcp_server": self.backend.tcp_server_status(),
         }

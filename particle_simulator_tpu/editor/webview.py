@@ -556,6 +556,9 @@ function statsText(s) {
     'timeline ram: ' + fmtNum(s.timeline_ram, 'B'),
     'interactive: ' + s.interactive + (s.editing ? ' (editing)' : ''),
     'connection: ' + s.connection,
+    'reader/writer: ' + (s.reader_connected ? 'connected' : 'disconnected')
+      + ' / ' + (s.writer_connected ? 'connected' : 'disconnected'),
+    'tcp server: ' + s.tcp_server,
   ];
   return lines.join('\\n');
 }
