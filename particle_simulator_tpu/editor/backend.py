@@ -66,6 +66,8 @@ class Backend:
     def close_connection(self) -> None:
         if self._reader is not None:
             self._reader.close()
+        if self._writer is not None:
+            self._writer.close()
         self._reader = None
         self._writer = None
         self.connection_details = "disconnected"
@@ -73,10 +75,20 @@ class Backend:
     def open_backend_files(self, in_path: str, out_path: str) -> None:
         """File transport: replay ``in_path`` as the incoming stream, record
         outgoing frames to ``out_path`` (backend.rs:70-105). Note the editor's
-        *out* is the engine's *in* and vice versa."""
+        *out* is the engine's *in* and vice versa.
+
+        Opens the new pair BEFORE tearing down the current connection, so a
+        bad path (FileNotFoundError propagates to the caller) leaves a live
+        TCP session untouched instead of disconnecting it as a side effect."""
+        reader = Reader.open_file(in_path)
+        try:
+            writer = Writer.open_file(out_path)
+        except OSError:
+            reader.close()
+            raise
         self.close_connection()
-        self._reader = Reader.open_file(in_path)
-        self._writer = Writer.open_file(out_path)
+        self._reader = reader
+        self._writer = writer
         self.connection_details = f"files: {in_path} -> {out_path}"
 
     def _try_accept(self) -> None:
@@ -84,6 +96,11 @@ class Backend:
             return
         conn = self._server.try_accept()
         if conn is not None:
+            # like the reference's open_tcp (backend.rs:107-118) an accepted
+            # engine replaces BOTH halves — close a still-recording file
+            # writer instead of leaking its handle
+            if self._writer is not None:
+                self._writer.close()
             self._reader, self._writer = conn
             self.connection_details = "tcp backend connected"
             self._loopback.clear()

@@ -345,12 +345,11 @@ class Editor:
 
     # -- stats (editor.rs:1228-1289) -------------------------------------------------
     def stats(self) -> dict:
-        frame = self.current_frame()
-        idx = self.timeline.frame_index_at(self.play_time)
-        located = self.timeline.frame(self.play_time)
+        located = self.timeline.at(self.play_time)  # one locate serves all three
+        frame, frame_time, idx = located if located else (None, None, None)
         return {
             "time": self.play_time,
-            "frame_time": located[1] if located else None,  # "Frame Time x / len"
+            "frame_time": frame_time,  # "Frame Time x / len"
             "sim_len": self.timeline.sim_len(),
             "step_dt": float(self.sim_params["step_dt"]),
             "frame_index": idx,

@@ -98,6 +98,15 @@ class Timeline:
         got = self._locate(t)
         return None if got is None else got[0]
 
+    def at(self, t: float) -> tuple[Frame, float, int] | None:
+        """(frame, exact frame time, frame index) nearest to sim-time ``t``
+        from ONE locate — the stats poll needs all three per request."""
+        got = self._locate(t)
+        if got is None:
+            return None
+        idx, exact = got
+        return self._frames[idx], exact, idx
+
     def last_frame(self) -> Frame | None:
         return self._frames[-1] if self._frames else None
 

@@ -593,6 +593,10 @@ class WebEditor:
         self._bin_cache = None  # (frame, count, vmax, body bytes)
         self._vmax_scale = None  # smoothed velocity quantization scale
         self.lock = threading.Lock()
+        # serializes _persist_presets end-to-end: ThreadingHTTPServer handles
+        # each request on its own thread, and two overlapping write_dir calls
+        # would collide on tmp names / resurrect deleted presets
+        self._persist_lock = threading.Lock()
         self._stop = False
         self._rng = np.random.default_rng()
         self.thread = threading.Thread(target=self._run, daemon=True)
@@ -719,12 +723,18 @@ class WebEditor:
             return
         from particle_simulator_tpu.io.presets import Presets
 
-        with self.lock:
-            payloads = self.editor.presets.serialize_dir()
-        try:
-            Presets.write_dir(self.presets_dir, payloads)
-        except OSError:
-            pass
+        # _persist_lock serializes whole persists (so concurrent mutations
+        # can't interleave tmp files or land an older snapshot last); the
+        # state lock is then taken only for the in-memory snapshot, so each
+        # queued persist writes the freshest state and disk IO never blocks
+        # /frame.bin or /stats
+        with self._persist_lock:
+            with self.lock:
+                payloads = self.editor.presets.serialize_dir()
+            try:
+                Presets.write_dir(self.presets_dir, payloads)
+            except OSError:
+                pass
 
     def control(self, req: dict) -> None:
         e = self.editor
@@ -764,7 +774,11 @@ class WebEditor:
                 try:
                     e.backend.open_backend_files(in_path, out_path)
                 except OSError as err:
-                    e.backend.connection_details = f"files: {err}"
+                    # a failed connect leaves any live connection untouched
+                    # (open_backend_files validates before tearing down);
+                    # only surface the error when nothing else is connected
+                    if not e.backend.is_connected:
+                        e.backend.connection_details = f"files: {err}"
             elif action == "speed":
                 e.play_speed = float(req.get("value", e.play_speed))
             elif action == "seek_frac":

@@ -199,7 +199,9 @@ class Presets:
             os.replace(tmp, path)
             keep.add(fname)
         for f in os.listdir(directory):
-            if f.endswith(".frame") and f not in keep:
+            # also sweep .frame.tmp orphans from a crash between open(tmp)
+            # and os.replace — they would otherwise accumulate forever
+            if (f.endswith(".frame") and f not in keep) or f.endswith(".frame.tmp"):
                 os.unlink(os.path.join(directory, f))
 
     def save_dir(self, directory) -> None:

@@ -148,16 +148,21 @@ def exchange_halo(state: ParticleState, ny: int, nx: int) -> ParticleState:
     return ParticleState(x, y, vx, vy, typ - 1)
 
 
-def _ship_pair(a, axis: int, axis_name: str, n: int, is_ty: bool):
-    """Ship this field's two edge slices along ``axis`` to both neighbors;
+def _ship_pair(a, axis: int, axis_name: str, n: int, is_ty: bool,
+               lo_idx: int = 0, hi_idx: int | None = None):
+    """Ship this field's two source slices along ``axis`` to both neighbors;
     returns (lo_halo, hi_halo) — what THIS device receives (its low-side
-    halo = the previous device's high edge, and vice versa). ``is_ty``
-    applies the ty+1 encode around the ppermute so mesh-boundary zero-fill
-    decodes to the tombstone -1. Encoding only the shipped slice is
-    bit-identical to encoding the whole field first (slice commutes with
-    the elementwise +1) and skips a full-grid read/write per exchange."""
-    lo_edge = jax.lax.slice_in_dim(a, 0, 1, axis=axis)
-    hi_edge = jax.lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], axis=axis)
+    halo = the previous device's ``hi_idx`` slice, and vice versa). The
+    source slices are the array edges by default; a padded grid passes its
+    INTERIOR edges (lo_idx=1, hi_idx=len-2). ``is_ty`` applies the ty+1
+    encode around the ppermute so mesh-boundary zero-fill decodes to the
+    tombstone -1. Encoding only the shipped slice is bit-identical to
+    encoding the whole field first (slice commutes with the elementwise +1)
+    and skips a full-grid read/write per exchange."""
+    if hi_idx is None:
+        hi_idx = a.shape[axis] - 1
+    lo_edge = jax.lax.slice_in_dim(a, lo_idx, lo_idx + 1, axis=axis)
+    hi_edge = jax.lax.slice_in_dim(a, hi_idx, hi_idx + 1, axis=axis)
     if is_ty:
         lo_edge = lo_edge + 1
         hi_edge = hi_edge + 1
@@ -190,16 +195,8 @@ def refresh_x_cols(sp: ParticleState, nx: int) -> ParticleState:
     step instead of the whole-state concat + interior re-slice."""
     out = []
     for a, is_ty in zip(sp, _IS_TY):
-        lo_int = jax.lax.slice_in_dim(a, 1, 2, axis=1)
-        hi_int = jax.lax.slice_in_dim(a, a.shape[1] - 2, a.shape[1] - 1, axis=1)
-        if is_ty:
-            lo_int = lo_int + 1
-            hi_int = hi_int + 1
-        lo_halo = _shift_from_prev(hi_int, AXIS_X, nx)
-        hi_halo = _shift_from_next(lo_int, AXIS_X, nx)
-        if is_ty:
-            lo_halo = lo_halo - 1
-            hi_halo = hi_halo - 1
+        lo_halo, hi_halo = _ship_pair(a, 1, AXIS_X, nx, is_ty,
+                                      lo_idx=1, hi_idx=a.shape[1] - 2)
         a = jax.lax.dynamic_update_slice_in_dim(a, lo_halo, 0, axis=1)
         a = jax.lax.dynamic_update_slice_in_dim(a, hi_halo, a.shape[1] - 1, axis=1)
         out.append(a)
