@@ -387,7 +387,11 @@ class Simulator:
         import sys
 
         desc = (
+            # lane_chunks names the jit/compile-cache signature the scene
+            # selects — scenes on the SAME grid can still pay separate
+            # Mosaic compiles when their occupancy picks different chunking
             f"grid {self.grid.bx}x{self.grid.by}x{self.grid.cap}"
+            f" lane_chunks {self._lane_chunks}"
             if self.data_structure == DataStructure.MATRIX_BUCKETS
             else f"compact capacity {self.state.ty.size}"
         )
