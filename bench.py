@@ -27,7 +27,7 @@ import numpy as np
 NORTH_STAR = 6.0e7  # particle-steps/sec: >=1M particles x >=60 steps/s
 
 
-def dense_grid_scene(cfg, fill: int, lj126: bool = False):
+def dense_grid_scene(cfg, fill: int):
     """Fill every interior bucket with ``fill`` particles jittered inside the
     bucket at ~equilibrium spacing (condensed phase: every bucket interaction
     is live, no NaN-prone overlaps), cold (sigma = 1 m/s), with the boundary
@@ -40,17 +40,8 @@ def dense_grid_scene(cfg, fill: int, lj126: bool = False):
     from particle_simulator_tpu.physics.bucket import state_to_grid
 
     meta = default_metadata()
-    if lj126:
-        # classic Lennard-Jones 12-6 exponents (same sigma/eps): the
-        # integer-eligible case where the step kernel's multiply-chain
-        # force pipeline engages (physics/mie.py mie_ipow_exponents) —
-        # the DEFAULT species keep the reference's fractional n = 14.08
-        meta["particles"][0]["n"] = 12.0
     n = cfg.buckets * fill
-    p0 = meta["particles"][0]
-    r0 = MieParams(
-        float(p0["sigma"]), float(p0["epsilon"]), float(p0["n"]), float(p0["m"])
-    ).force0_r()
+    r0 = MieParams.nitrogen().force0_r()
 
     # Bucket-ALIGNED hexagonal lattice — the 2D ground state — so the crystal
     # neither relaxes (a square lattice is a saddle point: it melts, clumps,
@@ -125,19 +116,6 @@ def main(argv=None) -> int:
                     help="[--user-scene only] override the engine's "
                          "occupancy-chosen lane-chunk count (0 = auto) — "
                          "for same-window A/B of the column-chunk skip")
-    ap.add_argument("--lj126", action="store_true",
-                    help="dense scene with classic LJ 12-6 exponents for "
-                         "species 0 (default keeps the reference's fractional "
-                         "n = 14.08) — the integer-eligible case where the "
-                         "multiply-chain force pipeline engages; A/B against "
-                         "--lj126 --no-mie-ipow isolates the transcendental "
-                         "share of the step kernel")
-    ap.add_argument("--no-mie-ipow", action="store_true",
-                    help="pin the generic log-form pair force instead of the "
-                         "integer-exponent multiply-chain fast path the "
-                         "default 12-6 params select (physics/mie.py "
-                         "mie_ipow_exponents) — for same-window A/B of the "
-                         "transcendental-free force pipeline")
     ap.add_argument("--per-frame", action="store_true",
                     help="barrier every frame (1-element readback) and report "
                          "the per-frame time distribution — run-to-run "
@@ -182,18 +160,9 @@ def main(argv=None) -> int:
             kx += 1
     cfg = GridConfig(kx, ky, args.fill)
 
-    state, params, n = dense_grid_scene(cfg, args.fill, lj126=args.lj126)
+    state, params, n = dense_grid_scene(cfg, args.fill)
     params = params._replace(steps_per_frame=np.int32(args.steps))
     state = jax.device_put(state, jax.devices()[0])
-
-    # integer-exponent pair-force fast path: selected from the scene's actual
-    # metadata exactly like the engine does (the default 12-6 params -> (4,7))
-    from particle_simulator_tpu.physics.mie import mie_ipow_exponents
-
-    ipow = (
-        None if args.no_mie_ipow
-        else mie_ipow_exponents(float(params.m), float(params.n))
-    )
 
     # Pallas kernel on the accelerator; jnp path on CPU (where Mosaic can't run)
     on_tpu = jax.devices()[0].platform != "cpu"
@@ -206,20 +175,13 @@ def main(argv=None) -> int:
 
         mesh = make_mesh()
         frame_fn = make_sharded_frame_fn(
-            cfg, mesh, donate=True, kernel="pallas" if on_tpu else "jnp",
-            mie_ipow=ipow if on_tpu else None,
+            cfg, mesh, donate=True, kernel="pallas" if on_tpu else "jnp"
         )
         state = jax.device_put(state, grid_sharding(mesh))
-    elif on_tpu:
-        frame_fn = jax.jit(
-            lambda s, p: run_frame_bucket_pallas(
-                s, p, move_every=cfg.move_every, mie_ipow=ipow
-            ),
-            donate_argnums=(0,),
-        )
     else:
+        runner = run_frame_bucket_pallas if on_tpu else run_frame_bucket
         frame_fn = jax.jit(
-            lambda s, p: run_frame_bucket(s, p, move_every=cfg.move_every),
+            lambda s, p: runner(s, p, move_every=cfg.move_every),
             donate_argnums=(0,),
         )
 
@@ -271,8 +233,6 @@ def main(argv=None) -> int:
                 # (kernel_bucket.cuh:30-31); reported for transparency —
                 # per-step compute is slot-based and unaffected by drops
                 "live_fraction_end": round(live_end / n, 4),
-                "mie_ipow": list(ipow) if (on_tpu and ipow) else None,
-                **({"scene": "dense-lj126"} if args.lj126 else {}),
                 "device": str(jax.devices()[0].platform),
                 **(
                     {"sharded_mesh": list(mesh.devices.shape)}
@@ -312,7 +272,6 @@ def bench_user_scene(args) -> int:
     frame = _scene(side, side, distance_factor=1.1, speed=1.0, box_fill=0.5)
     frame.metadata.steps_per_frame = args.steps
     sim = Simulator()
-    sim.mie_fast_path = not args.no_mie_ipow
     sim.load_frame(frame)
     if args.lane_chunks:
         sim._lane_chunks = args.lane_chunks
@@ -365,7 +324,6 @@ def bench_user_scene(args) -> int:
                 # column-chunk skip factor chosen from scene occupancy
                 # (ops/bucket_pallas.py lane_chunks); 1 = unchunked kernel
                 "lane_chunks": sim._lane_chunks,
-                "mie_ipow": list(sim._mie_ipow() or []) or None,
                 "device": str(jax.devices()[0].platform),
             }
         )

@@ -170,18 +170,15 @@ def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
     return run_frame_bucket(state, p, unroll=False)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("block_rows", "lane_chunks", "mie_ipow")
-)
+@functools.partial(jax.jit, static_argnames=("block_rows", "lane_chunks"))
 def _run_bucket_pallas(
     state: ParticleState, p: SimParams, block_rows: int | None = None,
-    lane_chunks: int = 1, mie_ipow: tuple[int, int] | None = None,
+    lane_chunks: int = 1,
 ) -> ParticleState:
     from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
 
     return run_frame_bucket_pallas(
-        state, p, block_rows=block_rows, lane_chunks=lane_chunks,
-        mie_ipow=mie_ipow,
+        state, p, block_rows=block_rows, lane_chunks=lane_chunks
     )
 
 
@@ -257,18 +254,6 @@ class Simulator:
         # step-kernel lane chunking (ops/bucket_pallas.py): chosen per scene
         # load from spatial occupancy; 1 = the unchunked kernel
         self._lane_chunks = 1
-        # Integer-exponent pair-force fast path (physics/mie.py
-        # mie_ipow_exponents): when species 0's Mie exponents make
-        # (m+2)/2 / (n+2)/2 small exact integers (the default 12-6 params
-        # do), the step kernel replaces its per-pass log + 2 exp with a
-        # multiply chain. The exponent pair is part of the kernel-dispatch
-        # signature (read per dispatch from host-visible metadata, like
-        # lane_chunks): editing the exponent sliders ACROSS the
-        # integer-eligibility boundary swaps executables — one extra compile,
-        # hidden by --progressive-compile / the persistent cache; every other
-        # metadata edit stays zero-recompile as before. False pins the
-        # generic log-form kernel (bench A/B).
-        self.mie_fast_path = True
         # Progressive kernel compile: a grid shape whose Pallas program has
         # never compiled on this machine costs minutes of Mosaic compile
         # (~570 s for a cap-16 grid over the dev tunnel; the persistent
@@ -494,17 +479,13 @@ class Simulator:
                 self.active_kernel = "allpairs-jnp"
         elif self.mesh is not None:
             # multi-chip spatial domain decomposition (parallel/domain.py)
-            ipow = self._mie_ipow()
-            key = (self.grid, self.mesh, ipow)
+            key = (self.grid, self.mesh)
             fn = self._sharded_fns.get(key)
             if fn is None:
                 from particle_simulator_tpu.parallel.domain import make_sharded_frame_fn
 
                 kernel = "pallas" if jax.default_backend() == "tpu" else "jnp"
-                fn = make_sharded_frame_fn(
-                    self.grid, self.mesh, donate=False, kernel=kernel,
-                    mie_ipow=ipow,
-                )
+                fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False, kernel=kernel)
                 self._sharded_fns[key] = fn
             self.state = fn(self.state, self.params)
             self.active_kernel = "sharded-pallas" if jax.default_backend() == "tpu" else "sharded-jnp"
@@ -515,15 +496,12 @@ class Simulator:
             # 2^7 = 128 threads <-> 8 bucket rows. Changing it recompiles once.
             k = int(self.meta_record["gpu_threads_per_block_log2"])
             block_rows = max(1, 1 << max(0, k - 4))
-            ipow = self._mie_ipow()
-            if self.progressive_compile and not self._pallas_warm(
-                block_rows, ipow
-            ):
+            if self.progressive_compile and not self._pallas_warm(block_rows):
                 # cold shape: same step math via the XLA-jnp runner while the
                 # Pallas program compiles in the background (see __init__)
                 self.state = _run_bucket(self.state, self.params)
                 status = self._pallas_status.get(
-                    (self.grid, block_rows, self._lane_chunks, ipow)
+                    (self.grid, block_rows, self._lane_chunks)
                 )
                 self.active_kernel = (
                     "bucket-jnp-pinned" if status == "failed"
@@ -532,7 +510,7 @@ class Simulator:
             else:
                 self.state = _run_bucket_pallas(
                     self.state, self.params, block_rows=block_rows,
-                    lane_chunks=self._lane_chunks, mie_ipow=ipow,
+                    lane_chunks=self._lane_chunks,
                 )
                 self.active_kernel = "bucket-pallas"
         else:
@@ -544,27 +522,14 @@ class Simulator:
         if self.state is not None:
             jax.block_until_ready(self.state)
 
-    def _mie_ipow(self) -> "tuple[int, int] | None":
-        """The step kernel's integer-exponent fast-path signature for the
-        CURRENT metadata (see __init__'s mie_fast_path note), read from the
-        host-visible record per dispatch like lane_chunks is per scene."""
-        if not self.mie_fast_path or self.meta_record is None:
-            return None
-        from particle_simulator_tpu.physics.mie import mie_ipow_from_record
-
-        return mie_ipow_from_record(self.meta_record)
-
     # -- progressive Pallas compile (see __init__ for the rationale) -----------
-    def _pallas_warm(
-        self, block_rows: int, mie_ipow: "tuple[int, int] | None" = None
-    ) -> bool:
+    def _pallas_warm(self, block_rows: int) -> bool:
         """True once the Pallas frame program for the CURRENT (grid,
-        block_rows, lane_chunks, mie_ipow) signature is compiled and safe to
-        call without stalling the loop. First call for a cold signature
-        spawns the compile thread and returns False; a failed compile (e.g.
-        VMEM overflow at an extreme grid) pins the signature to the jnp
-        runner."""
-        key = (self.grid, block_rows, self._lane_chunks, mie_ipow)
+        block_rows, lane_chunks) signature is compiled and safe to call
+        without stalling the loop. First call for a cold signature spawns
+        the compile thread and returns False; a failed compile (e.g. VMEM
+        overflow at an extreme grid) pins the signature to the jnp runner."""
+        key = (self.grid, block_rows, self._lane_chunks)
         with self._pallas_claim_lock:
             status = self._pallas_status.get(key)
             if status is None:
@@ -588,14 +553,13 @@ class Simulator:
         dummy state of the target shape. jit compilation is thread-safe and
         the dummy dispatch just interleaves with the main loop's work on the
         same client (the warm-start thread uses the same pattern)."""
-        grid, block_rows, lane_chunks, mie_ipow = key
+        grid, block_rows, lane_chunks = key
         try:
             from particle_simulator_tpu.engine.state import empty_state
 
             dummy = jax.device_put(empty_state(grid.grid_shape), self.accel)
             out = _run_bucket_pallas(
-                dummy, params, block_rows=block_rows, lane_chunks=lane_chunks,
-                mie_ipow=mie_ipow,
+                dummy, params, block_rows=block_rows, lane_chunks=lane_chunks
             )
             jax.block_until_ready(out)
             self._pallas_status[key] = "ok"
@@ -647,27 +611,22 @@ class Simulator:
             )
             rec = default_metadata()
             params = SimParams.from_record(rec)
-            # derive block_rows / mie_ipow exactly like frame_async so the
-            # warmed jit signature tracks any future default-metadata change
+            # derive block_rows exactly like frame_async so the warmed jit
+            # signature tracks any future default-metadata change
             k = int(rec["gpu_threads_per_block_log2"])
             block_rows = max(1, 1 << max(0, k - 4))
-            from particle_simulator_tpu.physics.mie import mie_ipow_from_record
-
-            ipow = mie_ipow_from_record(rec) if self.mie_fast_path else None
             # register with the progressive-compile gate UP FRONT: a default
             # scene arriving during this (multi-minute) compile must wait on
             # it through the interim jnp runner, not spawn a duplicate
             # compile of the identical program on a second thread
-            key = (cfg, block_rows, 1, ipow)
+            key = (cfg, block_rows, 1)
             with self._pallas_claim_lock:
                 if key in self._pallas_status:
                     return  # already compiled / being compiled by frame_async
                 self._pallas_status[key] = "compiling"
             try:
                 dummy = jax.device_put(empty_state(cfg.grid_shape), self.accel)
-                out = _run_bucket_pallas(
-                    dummy, params, block_rows=block_rows, mie_ipow=ipow
-                )
+                out = _run_bucket_pallas(dummy, params, block_rows=block_rows)
                 jax.block_until_ready(out)
                 # the first default-scene frame now goes straight to the
                 # Pallas kernel instead of detouring through the jnp runner

@@ -41,10 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from particle_simulator_tpu.engine.state import PARTICLE_MASS, ParticleState, SimParams, U32_MAX_F
-from particle_simulator_tpu.physics.mie import (
-    mie_log_coeffs_scalars,
-    mie_poly_coeffs_scalars,
-)
+from particle_simulator_tpu.physics.mie import mie_log_coeffs_scalars
 
 F32 = jnp.float32
 
@@ -105,25 +102,6 @@ def _roll_lanes(a: jnp.ndarray, t: int) -> jnp.ndarray:
     return jnp.concatenate([a[:, k:], a[:, :k]], axis=1)
 
 
-def _powi_pair(w, e1: int, e2: int):
-    """``(w**e1, w**e2)`` for small positive integer exponents via one shared
-    squaring chain (e.g. e1=4, e2=7: w2 = w*w, w4 = w2*w2, w7 = w4*w2*w —
-    four multiplies for both powers). The integer-exponent pair-force fast
-    path uses this in place of the log form's one log + two exp per pass."""
-    sq = [w]
-    while (1 << len(sq)) <= max(e1, e2):
-        sq.append(sq[-1] * sq[-1])
-
-    def build(e: int):
-        r = None
-        for bit, s in enumerate(sq):
-            if (e >> bit) & 1:
-                r = s if r is None else r * s
-        return r
-
-    return build(e1), build(e2)
-
-
 @functools.lru_cache(maxsize=16)
 def _lane_bad_table(cap: int, L: int) -> np.ndarray:
     """(4*cap, L) i32: row t+2*cap-1 is 0 where a lane-shift-t candidate is
@@ -147,7 +125,6 @@ def _step_kernel(
     fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
     n_chunks: int = 1, pad: int = 0,
-    mie_ipow: "tuple[int, int] | None" = None,
 ):
     # Whole-block liveness skip: a block whose every slot is a tombstone has
     # no receivers — every output select below would pick the old value — so
@@ -177,7 +154,7 @@ def _step_kernel(
             params_ref, x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
             badmask_ref, ox_ref, oy_ref, ovx_ref, ovy_ref, fx_acc, fy_acc,
             ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes,
-            pad=pad, mie_ipow=mie_ipow,
+            pad=pad,
         )
 
 
@@ -188,7 +165,6 @@ def _step_block(
     fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
     pad: int = 0,
-    mie_ipow: "tuple[int, int] | None" = None,
 ):
     x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
     L = x0.shape[1]
@@ -203,24 +179,12 @@ def _step_block(
     # C = (n/(n-m)) * (n/m)^(m/(n-m))  (particle.cuh:54) — for the wall force
     C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
     Ce = C * eps
-    # Pair-force constants, two per-dispatch-scalar forms (physics/mie.py
-    # holds both derivations incl. the garbage-metadata sign/clamp handling):
-    # - generic (runtime exponents): F/r = s1*exp(A1 - B1*lu) -
-    #   s2*exp(A2 - B2*lu), lu = log(d2/sigma^2) — one log + two exp + two
-    #   FMAs + two sign muls per pair; the rsqrt and five muls of the direct
-    #   form hoist into the scalars.
-    # - integer-exponent fast path (mie_ipow = (B1, B2) STATIC, the default
-    #   12-6 params give (4, 7)): F/r = t1*w^B1 - t2*w^B2, w = sigma^2/d2 —
-    #   one divide + a shared squaring chain of multiplies replaces all
-    #   three transcendentals in the kernel's hottest expression. The
-    #   engine picks the variant per dispatch from host-visible metadata
-    #   (engine/simulator.py), like lane_chunks.
-    if mie_ipow is None:
-        A1, B1, A2, B2, inv_s2, sg1, sg2 = mie_log_coeffs_scalars(
-            sigma, eps, n, m
-        )
-    else:
-        t1p, t2p, inv_s2 = mie_poly_coeffs_scalars(sigma, eps, n, m)
+    # log-domain pair-force constants: F/r = s1*exp(A1 - B1*lu) -
+    # s2*exp(A2 - B2*lu), lu = log(d2/sigma^2) — one log + two exp + two
+    # FMAs + two sign muls per pair; the rsqrt and five muls of the direct
+    # form hoist into these per-dispatch scalars. Shared derivation (incl.
+    # the garbage-metadata sign/clamp handling): physics/mie.py
+    A1, B1, A2, B2, inv_s2, sg1, sg2 = mie_log_coeffs_scalars(sigma, eps, n, m)
 
     live_i = ty0 >= 0
     xf = _u32_to_f32(x0)
@@ -302,13 +266,8 @@ def _step_block(
 
         d2 = dx * dx + dyy * dyy
         d2 = jnp.where(valid, d2, F32(1.0))
-        if mie_ipow is None:
-            lu = jnp.log(d2 * inv_s2)
-            f_over_r = sg1 * jnp.exp(A1 - B1 * lu) - sg2 * jnp.exp(A2 - B2 * lu)
-        else:
-            w = F32(1.0) / (d2 * inv_s2)
-            w1, w2 = _powi_pair(w, *mie_ipow)
-            f_over_r = t1p * w1 - t2p * w2
+        lu = jnp.log(d2 * inv_s2)
+        f_over_r = sg1 * jnp.exp(A1 - B1 * lu) - sg2 * jnp.exp(A2 - B2 * lu)
         f_over_r = jnp.where(valid, f_over_r, F32(0.0))
         fx_acc[:] = fx_acc[:] + f_over_r * dx
         fy_acc[:] = fy_acc[:] + f_over_r * dyy
@@ -444,9 +403,7 @@ def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=(
-        "interpret", "block_rows", "dynamic_passes", "lane_chunks", "mie_ipow"
-    ),
+    static_argnames=("interpret", "block_rows", "dynamic_passes", "lane_chunks"),
 )
 def bucket_step_pallas(
     state: ParticleState,
@@ -456,7 +413,6 @@ def bucket_step_pallas(
     edge_rows: tuple[ParticleState, ParticleState] | None = None,
     dynamic_passes: bool | None = None,
     lane_chunks: int = 1,
-    mie_ipow: tuple[int, int] | None = None,
 ) -> ParticleState:
     """One bucket-path physics step, Pallas TPU kernel. Drop-in replacement for
     physics.bucket.bucket_step (same candidate set; f32 rounding may differ by
@@ -631,7 +587,6 @@ def bucket_step_pallas(
     kernel = functools.partial(
         _step_kernel, ty_rows=ty_rows, by=by, cap=cap,
         dynamic_passes=dynamic_passes, n_chunks=C, pad=pad,
-        mie_ipow=mie_ipow,
     )
     nx, ny, nvx, nvy = pl.pallas_call(
         kernel,
@@ -1024,7 +979,6 @@ def run_frame_bucket_pallas(
     interpret: bool = False,
     block_rows: int | None = None,
     lane_chunks: int = 1,
-    mie_ipow: tuple[int, int] | None = None,
 ) -> ParticleState:
     """Whole-frame runner: Pallas step kernel + Pallas rebucket pass on the
     reference cadence (every 16th step). The pull-place move kernel is
@@ -1046,7 +1000,7 @@ def run_frame_bucket_pallas(
     def step(s):
         return bucket_step_pallas(
             s, p, interpret=interpret, block_rows=block_rows,
-            lane_chunks=lane_chunks, mie_ipow=mie_ipow,
+            lane_chunks=lane_chunks,
         )
 
     from particle_simulator_tpu.physics.bucket import chunked_frame_schedule

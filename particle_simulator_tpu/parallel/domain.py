@@ -246,7 +246,6 @@ def _local_frame(
     ny: int,
     nx: int,
     kernel: str = "jnp",
-    mie_ipow: "tuple[int, int] | None" = None,
 ) -> ParticleState:
     """Per-device body: steps_per_frame physics steps with halo exchange before
     each step and a migration/rebucket pass on the reference's cadence.
@@ -300,8 +299,7 @@ def _local_frame(
         def step(sp):
             top, bottom = ship_edge_rows(sp, ny)
             out = bucket_step_pallas(sp, p, interpret=interpret,
-                                     edge_rows=(top, bottom),
-                                     mie_ipow=mie_ipow)
+                                     edge_rows=(top, bottom))
             # the kernel's outputs for the halo columns are stale recompute;
             # overwrite them with the x-neighbors' fresh interior edges
             return refresh_x_cols(out, nx)
@@ -347,20 +345,12 @@ def _local_frame(
     )
 
 
-def make_sharded_frame_fn(
-    cfg: GridConfig,
-    mesh: Mesh,
-    donate: bool = True,
-    kernel: str = "jnp",
-    mie_ipow: "tuple[int, int] | None" = None,
-):
+def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True, kernel: str = "jnp"):
     """Build the jitted multi-chip frame runner for a grid config + mesh.
 
     Returns ``fn(state, p) -> state`` where state is (BY, BX, CAP) sharded
     ``P("dy", "dx", None)`` and p is replicated. ``kernel`` selects the local
-    step implementation: "jnp" (portable) or "pallas" (TPU VMEM kernel);
-    ``mie_ipow`` threads the step kernel's integer-exponent pair-force fast
-    path (ops/bucket_pallas.py) — pallas only, the jnp kernel ignores it.
+    step implementation: "jnp" (portable) or "pallas" (TPU VMEM kernel).
     """
     ny, nx = mesh.devices.shape
     if cfg.bx % nx:
@@ -371,9 +361,7 @@ def make_sharded_frame_fn(
     # global row index >= cfg.by, are never force-visible (they are
     # tombstoned, and the step kernel rejects tombstoned candidates) and
     # never targeted by the move (targets come from coordinate bits < by).
-    body = functools.partial(
-        _local_frame, cfg=cfg, ny=ny, nx=nx, kernel=kernel, mie_ipow=mie_ipow
-    )
+    body = functools.partial(_local_frame, cfg=cfg, ny=ny, nx=nx, kernel=kernel)
     sharded = shard_map(
         body,
         mesh=mesh,

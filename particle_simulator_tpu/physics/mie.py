@@ -116,72 +116,6 @@ def mie_log_coeffs(p: SimParams):
     return mie_log_coeffs_scalars(p.sigma, p.epsilon, p.n, p.m)
 
 
-def mie_poly_coeffs_scalars(sigma, eps, n, m):
-    """Polynomial pair-force coefficients for the integer-exponent fast path.
-
-    When B1 = (m+2)/2 and B2 = (n+2)/2 are small integers (true for the
-    default 12-6 Mie params — B1 = 4, B2 = 7), the pair force factors as
-
-        F(r)/r = t1*w^B1 - t2*w^B2,   w = sigma^2/d2,
-        t1 = C*eps*m/sigma^2          (t2 with n)
-
-    and the per-pair transcendentals of the log form (one log + two exp)
-    collapse to a shared squaring chain of multiplies — the kernel is
-    VPU-op-bound, so the shorter pipeline is a direct throughput win
-    (ops/bucket_pallas.py selects it per dispatch via a STATIC exponent
-    pair; the math here is per-dispatch scalar work).
-
-    Degenerate-metadata parity with ``mie_log_coeffs_scalars``: sigma == 0
-    clamps sigma^2 to the smallest normal f32, making w underflow to 0 for
-    any real d2 so both terms vanish — the direct form's exact zero; |t|
-    clamps to the largest finite f32 so garbage-huge eps stays finite
-    (t*w^B then matches the log form's exp(log(min(|t|, HUGE)) - B*lu));
-    negative eps / m > n garbage needs no sign juggling at all — the
-    polynomial form is exact for coefficients of either sign. Overflow
-    thresholds match the exp form: t*w^B and exp(log t + B*log w) hit f32
-    infinity at the same |w|.
-    """
-    C = (n / (n - m)) * jnp.exp((m / (n - m)) * jnp.log(n / m))
-    s = jnp.asarray(sigma, F32)
-    s2 = jnp.maximum(s * s, F32(_F32_TINY))
-    inv_s2 = F32(1.0) / s2
-    ce_s2 = C * jnp.asarray(eps, F32) * inv_s2
-    huge = F32(_F32_HUGE)
-    t1 = jnp.clip(ce_s2 * m, -huge, huge)
-    t2 = jnp.clip(ce_s2 * n, -huge, huge)
-    return t1, t2, inv_s2
-
-
-def mie_ipow_exponents(m, n, limit: int = 24):
-    """(B1, B2) = ((m+2)/2, (n+2)/2) as Python ints when both are small exact
-    integers, else None — the host-side eligibility check for the polynomial
-    pair-force fast path (``mie_poly_coeffs_scalars``). m/n arrive as live
-    editor metadata (f32); the default N2/Ar presets (m=6, n=12 ->
-    B1=4, B2=7) qualify, a dragged exponent slider generally doesn't and
-    falls back to the log-form kernel. The engine treats the result as part
-    of the kernel-dispatch signature (engine/simulator.py), like
-    ``lane_chunks``."""
-    b1 = (float(m) + 2.0) / 2.0
-    b2 = (float(n) + 2.0) / 2.0
-    if (
-        b1.is_integer() and b2.is_integer()
-        and 1 <= b1 <= limit and 1 <= b2 <= limit and b1 != b2
-    ):
-        return (int(b1), int(b2))
-    return None
-
-
-def mie_ipow_from_record(meta) -> "tuple[int, int] | None":
-    """``mie_ipow_exponents`` read off a METADATA_DTYPE record (species 0,
-    the only species that drives physics — kernel_bucket.cuh:52)."""
-    p0 = (
-        meta["particles"][0]
-        if meta["particles"].ndim == 1
-        else meta["particles"][..., 0]
-    )
-    return mie_ipow_exponents(p0["m"], p0["n"])
-
-
 def mie_potential(r, p: SimParams):
     """Potential energy V(r) = C*eps*((s/r)^n - (s/r)^m) — used by the energy
     diagnostics/tests; the reference documents it (particle.cuh:12) but never

@@ -561,166 +561,3 @@ def test_pallas_move_dead_block_skip_bit_identical():
     b = jax.tree.map(np.asarray, bucket_move_pallas(state, interpret=True))
     for name, u, v in zip(a._fields, a, b):
         np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
-
-
-def test_mie_ipow_exponents_selection():
-    """Host-side eligibility for the integer-exponent pair-force fast path:
-    the default 12-6 Mie params (MieParams.nitrogen/argon) qualify with
-    B = (4, 7); fractional, oversized, equal, or NaN exponents fall back to
-    the generic log-form kernel."""
-    from particle_simulator_tpu.io.frame import MieParams, default_metadata
-    from particle_simulator_tpu.physics.mie import (
-        mie_ipow_exponents,
-        mie_ipow_from_record,
-    )
-
-    assert mie_ipow_exponents(6.0, 12.0) == (4, 7)
-    assert mie_ipow_exponents(np.float32(6.0), np.float32(12.0)) == (4, 7)
-    assert mie_ipow_exponents(2.0, 4.0) == (2, 3)
-    assert mie_ipow_exponents(6.5, 12.0) is None  # fractional B1
-    assert mie_ipow_exponents(6.0, 13.0) is None  # fractional B2
-    assert mie_ipow_exponents(6.0, 6.0) is None   # m == n (degenerate C)
-    assert mie_ipow_exponents(6.0, 60.0) is None  # beyond the chain limit
-    assert mie_ipow_exponents(-4.0, 12.0) is None
-    assert mie_ipow_exponents(float("nan"), 12.0) is None
-    # garbage m > n still qualifies (polynomial form is sign-exact)
-    assert mie_ipow_exponents(12.0, 6.0) == (7, 4)
-    # the REAL species use fractional repulsive exponents (n = 14.08 /
-    # 12.085, particle.rs defaults) — the fast path must NOT engage for
-    # them or for the default metadata; it serves user-set integer
-    # exponents (classic LJ 12-6)
-    for mp in (MieParams.nitrogen(), MieParams.argon()):
-        assert mie_ipow_exponents(mp.m, mp.n) is None
-    assert mie_ipow_from_record(default_metadata()) is None
-
-
-def test_pallas_step_mie_ipow_matches_generic():
-    """The integer-exponent multiply-chain force (mie_ipow=(4,7)) vs the
-    log-form kernel AND the jnp reference path: same candidate set and
-    physics, rounding within the established summation-order envelope.
-    Exponents set to classic LJ 12-6 — the (4, 7) signature is only valid
-    when it matches the traced params (the engine guarantees that by
-    deriving it from the same metadata)."""
-    for cfg in (GridConfig(4, 4, 16), GridConfig(5, 4, 8)):
-        state, p = scene(cfg, nx=16, ny=16)
-        p = p._replace(n=np.float32(12.0))
-        ref = jax.tree.map(np.asarray, bucket_step(state, p))
-        gen = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
-        fast = jax.tree.map(
-            np.asarray,
-            bucket_step_pallas(state, p, interpret=True, mie_ipow=(4, 7)),
-        )
-        for got in (gen, fast):
-            np.testing.assert_array_equal(ref.ty, got.ty)
-            np.testing.assert_allclose(
-                ref.x.astype(np.int64), got.x.astype(np.int64), rtol=0, atol=2
-            )
-            np.testing.assert_allclose(ref.vx, got.vx, rtol=1e-4, atol=1e-3)
-            np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-4, atol=1e-3)
-        # fast vs generic directly: the two force pipelines agree to ulps
-        np.testing.assert_allclose(gen.vx, fast.vx, rtol=1e-5, atol=1e-4)
-        np.testing.assert_allclose(gen.vy, fast.vy, rtol=1e-5, atol=1e-4)
-        # and the dynamic-pass variant threads the same fast path
-        fast_dyn = jax.tree.map(
-            np.asarray,
-            bucket_step_pallas(
-                state, p, interpret=True, mie_ipow=(4, 7), dynamic_passes=True
-            ),
-        )
-        np.testing.assert_allclose(fast.vx, fast_dyn.vx, rtol=1e-5, atol=1e-4)
-
-
-def test_pallas_step_mie_ipow_degenerate_metadata():
-    """Garbage live-edited metadata through the fast path must match the
-    generic kernel's clamp semantics: sigma == 0 -> exact zero pair force;
-    negative eps and m > n (negative/reversed coefficients) stay finite and
-    agree — the polynomial form needs no sign juggling at all."""
-    cfg = GridConfig(4, 4, 8)
-    state, p0 = scene(cfg, nx=10, ny=10)
-    p0 = p0._replace(n=np.float32(12.0))  # LJ 12-6: (4, 7)-eligible
-
-    # sigma = 0: pair force must vanish exactly in both forms
-    p = p0._replace(sigma=np.float32(0.0))
-    gen = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
-    fast = jax.tree.map(
-        np.asarray, bucket_step_pallas(state, p, interpret=True, mie_ipow=(4, 7))
-    )
-    assert np.isfinite(gen.vx).all() and np.isfinite(fast.vx).all()
-    np.testing.assert_allclose(gen.vx, fast.vx, rtol=1e-6, atol=1e-8)
-    np.testing.assert_allclose(gen.vy, fast.vy, rtol=1e-6, atol=1e-8)
-
-    # negative eps (sign-flipped coefficients)
-    p = p0._replace(epsilon=np.float32(-1.65e-21))
-    gen = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
-    fast = jax.tree.map(
-        np.asarray, bucket_step_pallas(state, p, interpret=True, mie_ipow=(4, 7))
-    )
-    assert np.isfinite(gen.vx).all() and np.isfinite(fast.vx).all()
-    np.testing.assert_allclose(gen.vx, fast.vx, rtol=1e-5, atol=1e-4)
-
-    # m > n garbage (C < 0): selection yields the swapped chain (7, 4)
-    p = p0._replace(m=np.float32(12.0), n=np.float32(6.0))
-    gen = jax.tree.map(np.asarray, bucket_step_pallas(state, p, interpret=True))
-    fast = jax.tree.map(
-        np.asarray, bucket_step_pallas(state, p, interpret=True, mie_ipow=(7, 4))
-    )
-    assert np.isfinite(gen.vx).all() and np.isfinite(fast.vx).all()
-    np.testing.assert_allclose(gen.vx, fast.vx, rtol=1e-5, atol=1e-4)
-
-
-def test_pallas_mie_ipow_lane_chunks_bit_identical():
-    """Lane chunking under the fast path: chunked and unchunked kernels with
-    the SAME force form stay bit-identical (chunking only gates tiles; the
-    per-receiver pass order is unchanged either way)."""
-    cfg = GridConfig(5, 4, 8)
-    state, p = scene(cfg, nx=14, ny=14)
-    p = p._replace(n=np.float32(12.0))  # LJ 12-6: (4, 7)-eligible
-    ref = jax.tree.map(
-        np.asarray, bucket_step_pallas(state, p, interpret=True, mie_ipow=(4, 7))
-    )
-    got = jax.tree.map(
-        np.asarray,
-        bucket_step_pallas(
-            state, p, interpret=True, mie_ipow=(4, 7), lane_chunks=2
-        ),
-    )
-    for f in state._fields:
-        np.testing.assert_array_equal(getattr(ref, f), getattr(got, f), err_msg=f)
-
-
-def test_simulator_mie_ipow_dispatch():
-    """The engine reads the fast-path signature off host-visible metadata per
-    dispatch: default 12-6 metadata selects (4, 7); a live exponent edit to a
-    fractional value falls back to None; mie_fast_path=False pins generic."""
-    from particle_simulator_tpu.engine.simulator import Simulator
-    from particle_simulator_tpu.io.frame import Frame
-    from particle_simulator_tpu.io.presets import ParticleLattice
-
-    frame = Frame.new()
-    lat = ParticleLattice((6, 6), distance_factor=1.1)
-    lat.hex_square(
-        frame,
-        (frame.metadata.box_width / 2, frame.metadata.box_height / 2),
-        rng=np.random.default_rng(0),
-    )
-    sim = Simulator()
-    sim.load_frame(frame)
-    # the default species' n = 14.08 is fractional: generic kernel
-    assert sim._mie_ipow() is None
-
-    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE
-
-    rec = frame.metadata.copy()
-    rec["particles"][0]["n"] = 12.0  # classic LJ 12-6: eligible
-    sim.update_metadata(Frame.from_particles(rec, np.empty(0, PARTICLE_DTYPE)))
-    assert sim._mie_ipow() == (4, 7)
-
-    rec["particles"][0]["n"] = 12.5  # live exponent edit: back to generic
-    sim.update_metadata(Frame.from_particles(rec, np.empty(0, PARTICLE_DTYPE)))
-    assert sim._mie_ipow() is None
-
-    rec["particles"][0]["n"] = 12.0
-    sim.update_metadata(Frame.from_particles(rec, np.empty(0, PARTICLE_DTYPE)))
-    assert sim._mie_ipow() == (4, 7)
-    sim.mie_fast_path = False
-    assert sim._mie_ipow() is None
