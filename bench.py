@@ -116,6 +116,14 @@ def main(argv=None) -> int:
                     help="[--user-scene only] override the engine's "
                          "occupancy-chosen lane-chunk count (0 = auto) — "
                          "for same-window A/B of the column-chunk skip")
+    ap.add_argument("--ext-io", choices=("auto", "off", "nocompact"),
+                    default="auto",
+                    help="[--user-scene only] lane-chunked step layout: "
+                         "auto = persistent pad-extended state + live-tile-"
+                         "compacted schedule (the default), off = classic "
+                         "per-step ext round trip, nocompact = persistent "
+                         "layout with the plain tile grid — same-window A/B "
+                         "of the vacuum-floor work (sets PS_EXT_IO)")
     ap.add_argument("--per-frame", action="store_true",
                     help="barrier every frame (1-element readback) and report "
                          "the per-frame time distribution — run-to-run "
@@ -125,6 +133,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     import os
+
+    if args.ext_io != "auto":
+        os.environ["PS_EXT_IO"] = args.ext_io
 
     import jax
 
@@ -324,6 +335,8 @@ def bench_user_scene(args) -> int:
                 # column-chunk skip factor chosen from scene occupancy
                 # (ops/bucket_pallas.py lane_chunks); 1 = unchunked kernel
                 "lane_chunks": sim._lane_chunks,
+                # persistent pad-extended layout mode (PS_EXT_IO / --ext-io)
+                "ext_io": args.ext_io,
                 "device": str(jax.devices()[0].platform),
             }
         )

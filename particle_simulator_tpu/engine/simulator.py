@@ -26,6 +26,7 @@ and dispatch logic (cuda_simulator/src/kernel.cuh):
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -170,15 +171,33 @@ def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
     return run_frame_bucket(state, p, unroll=False)
 
 
-@functools.partial(jax.jit, static_argnames=("block_rows", "lane_chunks"))
+def _ext_io_mode() -> tuple[bool | None, bool]:
+    """(ext_io, compact_tiles) for the lane-chunked runner, from PS_EXT_IO:
+    "auto" (default; persistent pad-extended layout + live-tile-compacted
+    schedule whenever lane_chunks > 1), "off" (classic per-step ext), or
+    "nocompact" (persistent layout, classic tile grid) — the same-window A/B
+    knob for `bench.py --user-scene --ext-io ...`."""
+    mode = os.environ.get("PS_EXT_IO", "auto").lower()
+    if mode in ("off", "0", "classic"):
+        return False, True
+    if mode == "nocompact":
+        return True, False
+    return None, True
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_rows", "lane_chunks", "ext_io", "compact_tiles"),
+)
 def _run_bucket_pallas(
     state: ParticleState, p: SimParams, block_rows: int | None = None,
-    lane_chunks: int = 1,
+    lane_chunks: int = 1, ext_io: bool | None = None, compact_tiles: bool = True,
 ) -> ParticleState:
     from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
 
     return run_frame_bucket_pallas(
-        state, p, block_rows=block_rows, lane_chunks=lane_chunks
+        state, p, block_rows=block_rows, lane_chunks=lane_chunks,
+        ext_io=ext_io, compact_tiles=compact_tiles,
     )
 
 
@@ -508,9 +527,11 @@ class Simulator:
                     else "bucket-jnp-interim"
                 )
             else:
+                ext_io, compact = _ext_io_mode()
                 self.state = _run_bucket_pallas(
                     self.state, self.params, block_rows=block_rows,
                     lane_chunks=self._lane_chunks,
+                    ext_io=ext_io, compact_tiles=compact,
                 )
                 self.active_kernel = "bucket-pallas"
         else:
@@ -558,8 +579,10 @@ class Simulator:
             from particle_simulator_tpu.engine.state import empty_state
 
             dummy = jax.device_put(empty_state(grid.grid_shape), self.accel)
+            ext_io, compact = _ext_io_mode()
             out = _run_bucket_pallas(
-                dummy, params, block_rows=block_rows, lane_chunks=lane_chunks
+                dummy, params, block_rows=block_rows, lane_chunks=lane_chunks,
+                ext_io=ext_io, compact_tiles=compact,
             )
             jax.block_until_ready(out)
             self._pallas_status[key] = "ok"

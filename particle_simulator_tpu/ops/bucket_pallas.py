@@ -33,6 +33,7 @@ the jnp-vs-oracle comparisons).
 from __future__ import annotations
 
 import functools
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -124,8 +125,10 @@ def _step_kernel(
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
-    n_chunks: int = 1, pad: int = 0,
+    n_chunks: int = 1, pad: int = 0, out_off: int | None = None,
 ):
+    if out_off is None:
+        out_off = pad  # classic layout: outputs cover the interior lanes
     # Whole-block liveness skip: a block whose every slot is a tombstone has
     # no receivers — every output select below would pick the old value — so
     # copy inputs through and skip all 3*(4*cap-1) pair passes. Spatially
@@ -143,10 +146,10 @@ def _step_kernel(
 
     @pl.when(jnp.logical_not(block_live))
     def _dead_block():
-        ox_ref[:] = x_ref[:, pad : pad + w_out]
-        oy_ref[:] = y_ref[:, pad : pad + w_out]
-        ovx_ref[:] = vx_ref[:, pad : pad + w_out]
-        ovy_ref[:] = vy_ref[:, pad : pad + w_out]
+        ox_ref[:] = x_ref[:, out_off : out_off + w_out]
+        oy_ref[:] = y_ref[:, out_off : out_off + w_out]
+        ovx_ref[:] = vx_ref[:, out_off : out_off + w_out]
+        ovy_ref[:] = vy_ref[:, out_off : out_off + w_out]
 
     @pl.when(block_live)
     def _live_block():
@@ -154,7 +157,7 @@ def _step_kernel(
             params_ref, x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
             badmask_ref, ox_ref, oy_ref, ovx_ref, ovy_ref, fx_acc, fy_acc,
             ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes,
-            pad=pad,
+            pad=pad, out_off=out_off,
         )
 
 
@@ -164,8 +167,10 @@ def _step_block(
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
-    pad: int = 0,
+    pad: int = 0, out_off: int | None = None,
 ):
+    if out_off is None:
+        out_off = pad
     x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
     L = x0.shape[1]
 
@@ -372,13 +377,15 @@ def _step_block(
     nx = x0 + jax.lax.bitcast_convert_type(ddx.astype(jnp.int32), jnp.uint32)
     ny = y0 + jax.lax.bitcast_convert_type(ddy.astype(jnp.int32), jnp.uint32)
 
-    # lane-chunked blocks compute on the pad-extended width; outputs cover
-    # the interior only (pad == 0 -> the slice is the whole width)
+    # lane-chunked blocks compute on the pad-extended width; classic-layout
+    # outputs cover the interior only (out_off = pad), persistent-ext outputs
+    # the full extended width (out_off = 0; dead pad receivers select their
+    # input values, so the true-grid-end fill lanes pass through unchanged)
     w_out = ox_ref.shape[1]
-    ox_ref[:] = jnp.where(live_i, nx, x0)[:, pad : pad + w_out]
-    oy_ref[:] = jnp.where(live_i, ny, y0)[:, pad : pad + w_out]
-    ovx_ref[:] = jnp.where(live_i, nvx, vx0)[:, pad : pad + w_out]
-    ovy_ref[:] = jnp.where(live_i, nvy, vy0)[:, pad : pad + w_out]
+    ox_ref[:] = jnp.where(live_i, nx, x0)[:, out_off : out_off + w_out]
+    oy_ref[:] = jnp.where(live_i, ny, y0)[:, out_off : out_off + w_out]
+    ovx_ref[:] = jnp.where(live_i, nvx, vx0)[:, out_off : out_off + w_out]
+    ovy_ref[:] = jnp.where(live_i, nvy, vy0)[:, out_off : out_off + w_out]
 
 
 def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
@@ -623,6 +630,366 @@ def bucket_step_pallas(
     return ParticleState(
         nx.reshape(shape), ny.reshape(shape), nvx.reshape(shape), nvy.reshape(shape), state.ty
     )
+
+
+# ---------------------------------------------------------------------------
+# Persistent pad-extended lane-chunk layout
+#
+# The classic lane-chunked call (bucket_step_pallas, lane_chunks > 1) pays a
+# whole-grid copy PER STEP to materialize the pad-extended inputs (ext()) and
+# another to slice interiors back out — scripts/userscene_decomp.py measured
+# that structural floor at 47% of the user-scene step cost (5.67 of
+# 11.94 ms/step on an all-tombstone grid). These helpers instead keep the
+# state pad-extended ACROSS a whole move-cadence chunk of steps: the ext/unext
+# copies happen every move_every steps, and per step only the x/y pad lanes at
+# chunk boundaries are refreshed from their owning chunk's interior (ty never
+# changes inside a chunk; candidate passes never read vx/vy, so neither needs
+# a refresh; true-grid-end pads stay at their fill values because dead
+# receivers pass inputs through).
+# ---------------------------------------------------------------------------
+
+
+class ExtGeom(NamedTuple):
+    """Static geometry of a pad-extended (by, C*We/cap, cap) grid."""
+
+    by: int
+    cap: int
+    C: int
+    pad: int   # tombstoned/mirror lanes each side of every chunk
+    W: int     # true lanes per chunk
+    We: int    # extended lanes per chunk (W + 2*pad)
+
+    @property
+    def L(self) -> int:  # true lane count
+        return self.C * self.W
+
+    @property
+    def Le(self) -> int:  # extended lane count
+        return self.C * self.We
+
+
+def _ext_geom_of(e: ParticleState, lane_chunks: int) -> ExtGeom:
+    by, bxe, cap = e.x.shape
+    C = int(lane_chunks)
+    Le = bxe * cap
+    if Le % C:
+        raise ValueError(f"extended lanes {Le} not divisible by C={C}")
+    We = Le // C
+    pad = max(128, 2 * cap)
+    W = We - 2 * pad
+    if W <= 0 or W % 128:
+        raise ValueError(f"bad extended geometry: We={We}, pad={pad}")
+    return ExtGeom(by, cap, C, pad, W, We)
+
+
+def ext_state_chunks(state: ParticleState, lane_chunks: int) -> ParticleState:
+    """(by, bx, cap) -> the pad-extended (by, C*We/cap, cap) layout: chunk c's
+    slice holds the true lanes [c*W - pad, c*W + W + pad) with fill values
+    (tombstones for ty) past the grid ends — the persistent form of
+    bucket_step_pallas's per-step ext(). pad is a multiple of cap, so the
+    extended layout remains a whole-bucket 3D state."""
+    by, bx, cap = state.x.shape
+    C = int(lane_chunks)
+    L = bx * cap
+    W = L // C
+    pad = max(128, 2 * cap)
+    We = W + 2 * pad
+
+    def ext(a3d, fill):
+        a2d = a3d.reshape(by, L)
+        p = jnp.full((by, pad), fill, a2d.dtype)
+        padded = jnp.concatenate([p, a2d, p], axis=1)
+        out = jnp.concatenate(
+            [padded[:, c * W : c * W + We] for c in range(C)], axis=1
+        )
+        return out.reshape(by, C * We // cap, cap)
+
+    return ParticleState(
+        ext(state.x, 0), ext(state.y, 0),
+        ext(state.vx, 0), ext(state.vy, 0), ext(state.ty, -1),
+    )
+
+
+def unext_state_chunks(e: ParticleState, lane_chunks: int) -> ParticleState:
+    """Slice the chunk interiors back out of a pad-extended state."""
+    g = _ext_geom_of(e, lane_chunks)
+
+    def interior(a3d):
+        a = a3d.reshape(g.by, g.C, g.We)[:, :, g.pad : g.pad + g.W]
+        return a.reshape(g.by, g.L // g.cap, g.cap)
+
+    return ParticleState(*(interior(a) for a in e))
+
+
+def refresh_ext_pads(e: ParticleState, lane_chunks: int) -> ParticleState:
+    """Refresh the chunk-boundary pad lanes of x and y from their owning
+    chunk's freshly-stepped interior (one (by, 2*pad) slab write per interior
+    boundary instead of the whole-grid re-ext). ty is never written by the
+    step kernel and pair passes never read candidate vx/vy, so only the
+    position fields need current pads; true-grid-end pads keep their fill
+    values because the kernel passes dead receivers through."""
+    g = _ext_geom_of(e, lane_chunks)
+
+    def refresh(a3d):
+        a = a3d.reshape(g.by, g.Le)
+        for c in range(1, g.C):
+            b = c * g.We
+            slab = jnp.concatenate(
+                [
+                    a[:, b + g.pad : b + 2 * g.pad],      # right pad of c-1 <- head of c
+                    a[:, b - 2 * g.pad : b - g.pad],      # left pad of c <- tail of c-1
+                ],
+                axis=1,
+            )
+            a = jax.lax.dynamic_update_slice_in_dim(a, slab, b - g.pad, axis=1)
+        return a.reshape(a3d.shape)
+
+    return ParticleState(refresh(e.x), refresh(e.y), e.vx, e.vy, e.ty)
+
+
+class ExtStepAux(NamedTuple):
+    """ty-derived inputs of the ext-layout step, hoisted once per move-cadence
+    chunk (ty is constant between rebucket passes): the params vector with the
+    occupancy bound appended, the per-(row-block, lane-chunk) receiver flags,
+    and the compacted tile schedule (live tiles first, ascending; the dead
+    tail repeats the last live tile so its block DMA is skipped)."""
+
+    params: jnp.ndarray  # (11,) f32, _params_vector + omax
+    flags: jnp.ndarray   # (n_tiles,) i32
+    order: jnp.ndarray   # (n_tiles,) i32 tile visit order
+    sizes: jnp.ndarray   # (1,) i32 = number of real (non-repeat) iterations
+
+
+def ext_step_aux(
+    e: ParticleState, p: SimParams, lane_chunks: int,
+    block_rows: int | None = None,
+) -> ExtStepAux:
+    g = _ext_geom_of(e, lane_chunks)
+    ty_rows = _pick_ty_rows(g.by, g.L, block_rows)
+    n_blocks = g.by // ty_rows
+    n_tiles = n_blocks * g.C
+
+    # pad lanes mirror a neighbor chunk's interior (or are tombstones at the
+    # grid ends), so the occupancy bound over the FULL extended ty equals the
+    # interior bound the classic path computes
+    slot_no = jnp.arange(g.cap, dtype=jnp.int32) + 1
+    omax = jnp.max(jnp.where(e.ty >= 0, slot_no, 0))
+    params = jnp.concatenate([_params_vector(p), omax.astype(F32)[None]])
+
+    ty_int = (
+        e.ty.reshape(g.by, g.C, g.We)[:, :, g.pad : g.pad + g.W]
+        .reshape(n_blocks, ty_rows, g.C, g.W)
+    )
+    flags = (ty_int.max(axis=(1, 3)) >= 0).reshape(-1).astype(jnp.int32)
+
+    live = flags > 0
+    n_live = jnp.sum(live.astype(jnp.int32))
+    n_real = jnp.maximum(n_live, 1)
+    order0 = jnp.argsort(jnp.logical_not(live).astype(jnp.int32), stable=True)
+    last_live = jax.lax.dynamic_slice(order0, (n_real - 1,), (1,))[0]
+    idx = jnp.arange(n_tiles, dtype=jnp.int32)
+    order = jnp.where(idx < n_real, order0, last_live).astype(jnp.int32)
+    return ExtStepAux(params, flags, order, n_real.astype(jnp.int32)[None])
+
+
+def _step_kernel_compact(
+    order_ref, sizes_ref, params_ref, flags_ref,
+    x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref, badmask_ref,
+    ox_ref, oy_ref, ovx_ref, ovy_ref,
+    fx_acc, fy_acc,
+    *, ty_rows: int, by: int, cap: int, pad: int,
+):
+    """Ext-layout step over a compacted tile schedule: grid iteration i
+    visits tile order[i]. Iterations past sizes[0] repeat the last live tile
+    — same block index, so the pipeline skips their DMA entirely — and with
+    the x/y/vx/vy inputs aliased onto the outputs, tiles never visited keep
+    their input bytes, which IS the dead-block copy-through. The only real
+    iteration over a dead tile is the all-dead fallback (tile 0), which
+    copies through explicitly so the write-back is defined."""
+    i = pl.program_id(0)
+    tile = order_ref[i]
+    is_real = i < sizes_ref[0]
+    live = flags_ref[tile] != 0
+
+    @pl.when(is_real & jnp.logical_not(live))
+    def _dead_fallback():
+        ox_ref[:] = x_ref[:]
+        oy_ref[:] = y_ref[:]
+        ovx_ref[:] = vx_ref[:]
+        ovy_ref[:] = vy_ref[:]
+
+    @pl.when(is_real & live)
+    def _live_block():
+        _step_block(
+            params_ref, x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
+            badmask_ref, ox_ref, oy_ref, ovx_ref, ovy_ref, fx_acc, fy_acc,
+            ty_rows=ty_rows, by=by, cap=cap, pad=pad, out_off=0,
+        )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("lane_chunks", "block_rows", "compact", "interpret"),
+)
+def bucket_step_pallas_ext(
+    e: ParticleState,
+    p: SimParams,
+    aux: ExtStepAux | None = None,
+    *,
+    lane_chunks: int,
+    block_rows: int | None = None,
+    compact: bool = True,
+    interpret: bool = False,
+) -> ParticleState:
+    """One physics step on the persistent pad-extended layout. Interior lanes
+    are bit-identical to bucket_step_pallas on the equivalent unextended
+    state (same block partition, same pass order, same op order); pad lanes
+    of x/y are refreshed from the interiors afterwards, ty threads through
+    unchanged, and vx/vy pads are never read (candidates use x/y/ty only).
+
+    ``compact=True`` schedules the pallas grid through ExtStepAux.order so
+    dead tiles cost no HBM traffic at all (see _step_kernel_compact);
+    ``compact=False`` keeps the classic (row-block, chunk) grid with the
+    in-kernel dead-block copy-through, for A/B measurement.
+
+    The jax.jit decorator is LOAD-BEARING for the bit-identity contract, not
+    a convenience: in interpret mode the kernel's float ops inline into the
+    enclosing XLA computation, where CPU fusion context changes their
+    contraction/rounding — measured ulp-level drift vs bucket_step_pallas
+    when this function was traced bare inside the frame runner's loops. The
+    jit boundary pins the kernel math into its own compilation unit exactly
+    like bucket_step_pallas's own decorator does."""
+    g = _ext_geom_of(e, lane_chunks)
+    ty_rows = _pick_ty_rows(g.by, g.L, block_rows)
+    n_blocks = g.by // ty_rows
+    if aux is None:
+        aux = ext_step_aux(e, p, lane_chunks, block_rows)
+
+    def flat(a):
+        return a.reshape(g.by, g.Le)
+
+    # packed neighbor rows, built directly on the extended layout: pad lanes
+    # of each shipped row already mirror the neighbor chunk (refresh
+    # invariant), which is exactly what the classic path's ext(rows) produced
+    def neighbor_rows(a2):
+        return (
+            jnp.roll(a2, 1, axis=0)[::ty_rows],
+            jnp.roll(a2, -1, axis=0)[ty_rows - 1 :: ty_rows],
+        )
+
+    xa, xb = neighbor_rows(flat(e.x))
+    ya, yb = neighbor_rows(flat(e.y))
+    tya, tyb = neighbor_rows(flat(jax.lax.bitcast_convert_type(e.ty, jnp.uint32)))
+    dead = jnp.full((1, g.Le), 0xFFFFFFFF, jnp.uint32)
+    tya = jnp.concatenate([dead, tya[1:]], axis=0)
+    tyb = jnp.concatenate([tyb[:-1], dead], axis=0)
+    zero = jnp.zeros((n_blocks, g.Le), xa.dtype)
+    halo = jnp.stack(
+        [xa, xb, ya, yb, tya, tyb, zero, zero], axis=1
+    ).reshape(n_blocks * 8, g.Le)
+
+    badmask = jnp.asarray(_lane_bad_table(g.cap, g.We))
+
+    out_shape = [
+        jax.ShapeDtypeStruct((g.by, g.Le), jnp.uint32),
+        jax.ShapeDtypeStruct((g.by, g.Le), jnp.uint32),
+        jax.ShapeDtypeStruct((g.by, g.Le), jnp.float32),
+        jax.ShapeDtypeStruct((g.by, g.Le), jnp.float32),
+    ]
+    in_spec_shape = (ty_rows, g.We)
+    halo_shape = (8, g.We)
+    bad_shape = (badmask.shape[0], g.We)
+    vmem = dict(memory_space=pltpu.VMEM)
+    C = g.C
+
+    if compact:
+        tile_map = lambda i, order, sizes: (order[i] // C, order[i] % C)
+        const_map = lambda i, order, sizes: (0, 0)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_blocks * C,),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # params (+ omax)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile liveness
+                pl.BlockSpec(in_spec_shape, tile_map, **vmem),  # x
+                pl.BlockSpec(in_spec_shape, tile_map, **vmem),  # y
+                pl.BlockSpec(in_spec_shape, tile_map, **vmem),  # ty
+                pl.BlockSpec(in_spec_shape, tile_map, **vmem),  # vx
+                pl.BlockSpec(in_spec_shape, tile_map, **vmem),  # vy
+                pl.BlockSpec(halo_shape, tile_map, **vmem),
+                pl.BlockSpec(bad_shape, const_map, **vmem),
+            ],
+            out_specs=[pl.BlockSpec(in_spec_shape, tile_map, **vmem)] * 4,
+            scratch_shapes=[
+                pltpu.VMEM((ty_rows, g.We), jnp.float32),
+                pltpu.VMEM((ty_rows, g.We), jnp.float32),
+            ],
+        )
+        kernel = functools.partial(
+            _step_kernel_compact, ty_rows=ty_rows, by=g.by, cap=g.cap,
+            pad=g.pad,
+        )
+        # operand indices COUNT the scalar-prefetch args: order=0, sizes=1,
+        # params=2, flags=3, x=4, y=5, ty=6, vx=7, vy=8. Aliasing the field
+        # inputs onto the outputs is what lets never-visited tiles keep their
+        # bytes (= copy-through) without any DMA.
+        nx, ny, nvx, nvy = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            input_output_aliases={4: 0, 5: 1, 7: 2, 8: 3},
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            aux.order, aux.sizes, aux.params, aux.flags,
+            flat(e.x), flat(e.y), flat(e.ty), flat(e.vx), flat(e.vy),
+            halo, badmask,
+        )
+    else:
+        in_map = lambda i, c: (i, c)
+        const_map2 = lambda i, c: (0, 0)
+        kernel = functools.partial(
+            _step_kernel, ty_rows=ty_rows, by=g.by, cap=g.cap,
+            n_chunks=C, pad=g.pad, out_off=0,
+        )
+        nx, ny, nvx, nvy = pl.pallas_call(
+            kernel,
+            grid=(n_blocks, C),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # params (+ omax)
+                pl.BlockSpec(memory_space=pltpu.SMEM),  # per-tile liveness
+                pl.BlockSpec(in_spec_shape, in_map, **vmem),
+                pl.BlockSpec(in_spec_shape, in_map, **vmem),
+                pl.BlockSpec(in_spec_shape, in_map, **vmem),
+                pl.BlockSpec(in_spec_shape, in_map, **vmem),
+                pl.BlockSpec(in_spec_shape, in_map, **vmem),
+                pl.BlockSpec(halo_shape, in_map, **vmem),
+                pl.BlockSpec(bad_shape, const_map2, **vmem),
+            ],
+            out_specs=[pl.BlockSpec(in_spec_shape, in_map, **vmem)] * 4,
+            out_shape=out_shape,
+            scratch_shapes=[
+                pltpu.VMEM((ty_rows, g.We), jnp.float32),
+                pltpu.VMEM((ty_rows, g.We), jnp.float32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            aux.params, aux.flags,
+            flat(e.x), flat(e.y), flat(e.ty), flat(e.vx), flat(e.vy),
+            halo, badmask,
+        )
+
+    shape = e.x.shape
+    out = ParticleState(
+        nx.reshape(shape), ny.reshape(shape),
+        nvx.reshape(shape), nvy.reshape(shape), e.ty,
+    )
+    return refresh_ext_pads(out, lane_chunks)
 
 
 def _place_kernel(
@@ -979,6 +1346,8 @@ def run_frame_bucket_pallas(
     interpret: bool = False,
     block_rows: int | None = None,
     lane_chunks: int = 1,
+    ext_io: bool | None = None,
+    compact_tiles: bool = True,
 ) -> ParticleState:
     """Whole-frame runner: Pallas step kernel + Pallas rebucket pass on the
     reference cadence (every 16th step). The pull-place move kernel is
@@ -990,20 +1359,53 @@ def run_frame_bucket_pallas(
     replaces measured ~15% of frame time at 1M. Interpret mode (CPU tests)
     keeps the small dynamic-loop trace, and so do grids above ~128 MB of
     state: the unrolled chunk body holds more live buffers and measured
-    27 -> 16 steps/s at 16M (320 MB state), while 1M (20 MB) gains ~7%."""
+    27 -> 16 steps/s at 16M (320 MB state), while 1M (20 MB) gains ~7%.
+
+    Lane-chunked frames (``lane_chunks`` > 1, sparse user scenes) default to
+    the PERSISTENT pad-extended layout (``ext_io``): the whole-grid ext/unext
+    copies ride the schedule's enter/exit hooks (once per move cadence
+    instead of per step) and the flags/omax/tile-order prologue hoists with
+    them; ``compact_tiles`` additionally schedules the pallas grid live-tiles
+    first so dead tiles cost no HBM traffic (bucket_step_pallas_ext).
+    ``ext_io=False`` keeps the classic per-step ext for A/B measurement."""
     by, bx, cap = state.x.shape
     big_state = by * bx * cap * 20 > 128 * 2**20
+    if ext_io is None:
+        ext_io = lane_chunks > 1
 
     def move(s):
         return bucket_move_pallas(s, interpret=interpret)
+
+    from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
+
+    if ext_io and lane_chunks > 1:
+
+        def enter(s):
+            e = ext_state_chunks(s, lane_chunks)
+            aux = ext_step_aux(e, p, lane_chunks, block_rows)
+            return (e, aux)
+
+        def estep(carry):
+            e, aux = carry
+            e = bucket_step_pallas_ext(
+                e, p, aux, lane_chunks=lane_chunks, block_rows=block_rows,
+                compact=compact_tiles, interpret=interpret,
+            )
+            return (e, aux)
+
+        def eexit(carry):
+            return unext_state_chunks(carry[0], lane_chunks)
+
+        return chunked_frame_schedule(
+            state, p.steps_per_frame, move_every, estep, move,
+            unroll=not interpret and not big_state, enter=enter, exit=eexit,
+        )
 
     def step(s):
         return bucket_step_pallas(
             s, p, interpret=interpret, block_rows=block_rows,
             lane_chunks=lane_chunks,
         )
-
-    from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
 
     return chunked_frame_schedule(
         state, p.steps_per_frame, move_every, step, move,

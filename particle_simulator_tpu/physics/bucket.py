@@ -541,7 +541,8 @@ def bucket_move_sorted(state: ParticleState) -> ParticleState:
     return out.reshape((by, bx, cap))
 
 
-def chunked_frame_schedule(state, steps, move_every: int, step, move, unroll: bool = True):
+def chunked_frame_schedule(state, steps, move_every: int, step, move,
+                           unroll: bool = True, enter=None, exit=None):
     """``steps`` physics steps with ``move`` before steps 1, 1+k, 1+2k, … —
     the exact op sequence of the reference's per-step schedule
     (kernel_bucket.cuh:181-206, `if i % k == 1: move`) without paying a
@@ -553,24 +554,38 @@ def chunked_frame_schedule(state, steps, move_every: int, step, move, unroll: bo
     unified chunk loop with a dynamic inner step loop — the same sequence
     with exactly ONE instantiation of ``step``/``move`` in the jaxpr, which
     matters both for interpret-mode test time (pallas interpret lowering
-    pays per call site) and for buffer liveness at huge grids."""
+    pays per call site) and for buffer liveness at huge grids.
+
+    ``enter``/``exit`` bracket each chunk's STEP RUN (not the move): ``step``
+    receives ``enter(state)``'s value and ``exit`` converts the run's result
+    back — the hook for step implementations that thread an alternate layout
+    (e.g. the persistent pad-extended lane-chunk state, whose whole-grid
+    ext/unext copies are then paid once per chunk instead of per step). The
+    identity defaults keep every existing caller unchanged."""
+    ident = lambda s: s
+    enter = enter or ident
+    exit = exit or ident
     if unroll:
         n_full = jnp.maximum(0, (steps - 1) // move_every)
         rem = jnp.maximum(0, steps - 1 - n_full * move_every)
 
         def full_chunk(c, s):
             s = move(s)
+            e = enter(s)
             for _ in range(move_every):
-                s = step(s)
-            return s
+                e = step(e)
+            return exit(e)
 
         def partial_chunk(s):
             s = move(s)
-            return jax.lax.fori_loop(0, rem, lambda j, t: step(t), s)
+            e = jax.lax.fori_loop(0, rem, lambda j, t: step(t), enter(s))
+            return exit(e)
 
-        state = jax.lax.cond(steps >= 1, step, lambda s: s, state)
+        state = jax.lax.cond(
+            steps >= 1, lambda s: exit(step(enter(s))), ident, state
+        )
         state = jax.lax.fori_loop(0, n_full, full_chunk, state)
-        return jax.lax.cond(rem > 0, partial_chunk, lambda s: s, state)
+        return jax.lax.cond(rem > 0, partial_chunk, ident, state)
 
     def chunk(c, s):
         # chunk 0 = the lone leading step; chunks 1.. = move + <= move_every
@@ -581,7 +596,8 @@ def chunked_frame_schedule(state, steps, move_every: int, step, move, unroll: bo
             jnp.minimum(steps, 1),
             jnp.minimum(move_every, steps - 1 - (c - 1) * move_every),
         )
-        return jax.lax.fori_loop(0, k, lambda j, t: step(t), s)
+        e = jax.lax.fori_loop(0, k, lambda j, t: step(t), enter(s))
+        return exit(e)
 
     n_chunks = jnp.where(steps >= 1, (steps + move_every - 2) // move_every + 1, 0)
     return jax.lax.fori_loop(0, n_chunks, chunk, state)

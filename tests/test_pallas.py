@@ -503,6 +503,166 @@ def test_pallas_frame_runner_lane_chunks_bit_identical():
         np.testing.assert_array_equal(getattr(ref, f), getattr(got, f), err_msg=f)
 
 
+def test_pallas_ext_layout_roundtrip_and_refresh():
+    """ext_state_chunks/unext_state_chunks roundtrip, and refresh_ext_pads
+    restores scrambled chunk-boundary x/y pads to exactly what a from-scratch
+    re-ext builds (the per-step invariant the persistent layout rides on)."""
+    from particle_simulator_tpu.ops.bucket_pallas import (
+        ext_state_chunks,
+        refresh_ext_pads,
+        unext_state_chunks,
+    )
+
+    cfg = GridConfig(5, 4, 8)
+    state, _ = scene(cfg, nx=12, ny=12)
+    C = 2
+    e = ext_state_chunks(state, C)
+    back = unext_state_chunks(e, C)
+    for f in state._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(state, f)), np.asarray(getattr(back, f)), err_msg=f
+        )
+
+    # scramble every pad lane of x/y, then refresh: interior-boundary pads
+    # must match the fresh ext bit-for-bit (grid-end pads hold dead lanes the
+    # kernel passes through, so refresh leaves them alone by design)
+    by, bxe, cap = e.x.shape
+    Le = bxe * cap
+    We = Le // C
+    pad = max(128, 2 * cap)
+    x2 = np.asarray(e.x).reshape(by, Le).copy()
+    y2 = np.asarray(e.y).reshape(by, Le).copy()
+    mask = np.zeros(Le, bool)
+    for c in range(C):
+        mask[c * We : c * We + pad] = True
+        mask[(c + 1) * We - pad : (c + 1) * We] = True
+    x2[:, mask] = 0xDEADBEEF
+    y2[:, mask] = 0xDEADBEEF
+    scrambled = e._replace(
+        x=jnp.asarray(x2.reshape(e.x.shape)), y=jnp.asarray(y2.reshape(e.x.shape))
+    )
+    fixed = refresh_ext_pads(scrambled, C)
+    inner = mask.copy()
+    inner[:pad] = False          # chunk 0's left pad = true grid end
+    inner[-pad:] = False         # last chunk's right pad = true grid end
+    for f in ("x", "y"):
+        got = np.asarray(getattr(fixed, f)).reshape(by, Le)
+        want = np.asarray(getattr(e, f)).reshape(by, Le)
+        np.testing.assert_array_equal(got[:, inner], want[:, inner], err_msg=f)
+        np.testing.assert_array_equal(got[:, ~mask], want[:, ~mask], err_msg=f)
+
+
+def test_ext_step_aux_tile_order_compacts_live_tiles():
+    """ExtStepAux.order must list live tiles first (ascending), repeat the
+    last live tile through the dead tail (so the pipeline skips their DMA),
+    and fall back to one real visit of tile 0 when everything is dead."""
+    from particle_simulator_tpu.engine.state import empty_state
+    from particle_simulator_tpu.io.frame import default_metadata
+    from particle_simulator_tpu.ops.bucket_pallas import ext_state_chunks, ext_step_aux
+
+    p = SimParams.from_record(default_metadata())
+    cfg = GridConfig(5, 4, 8)
+    C = 2
+
+    state, _ = scene(cfg, nx=10, ny=10)
+    e = ext_state_chunks(state, C)
+    aux = ext_step_aux(e, p, C, 8)
+    flags = np.asarray(aux.flags)
+    order = np.asarray(aux.order)
+    n_real = int(np.asarray(aux.sizes)[0])
+    live_ids = np.nonzero(flags)[0]
+    assert n_real == len(live_ids) > 0
+    np.testing.assert_array_equal(order[:n_real], live_ids)
+    np.testing.assert_array_equal(order[n_real:], live_ids[-1])
+
+    e0 = ext_state_chunks(empty_state(cfg.grid_shape), C)
+    aux0 = ext_step_aux(e0, p, C, 8)
+    assert int(np.asarray(aux0.sizes)[0]) == 1
+    np.testing.assert_array_equal(np.asarray(aux0.order), 0)
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_pallas_ext_step_bit_identical(compact):
+    """The persistent pad-extended step (bucket_step_pallas_ext) must be
+    BIT-identical to the classic per-step-ext chunked kernel on the chunk
+    interiors, including across consecutive steps (which exercises the
+    refresh_ext_pads invariant and, with compact=True, the live-tile-first
+    schedule + aliased copy-through for never-visited tiles)."""
+    from particle_simulator_tpu.engine.state import empty_state
+    from particle_simulator_tpu.io.frame import PARTICLE_DTYPE, default_metadata
+    from particle_simulator_tpu.ops.bucket_pallas import (
+        bucket_step_pallas_ext,
+        ext_state_chunks,
+        ext_step_aux,
+        unext_state_chunks,
+    )
+
+    meta = default_metadata()
+    meta["step_dt"] = 10e-15
+    p = SimParams.from_record(meta)
+    cfg = GridConfig(5, 4, 8)
+    C = 2
+
+    def rand_state(seed, quarter):
+        rng = np.random.default_rng(seed)
+        n = cfg.capacity
+        parts = np.zeros(n, dtype=PARTICLE_DTYPE)
+        parts["x"] = rng.integers(0, 2**32, n, dtype=np.uint32)
+        parts["y"] = rng.integers(0, 2**32, n, dtype=np.uint32)
+        parts["vx"] = rng.normal(0, 50, n).astype(np.float32)
+        parts["vy"] = rng.normal(0, 50, n).astype(np.float32)
+        parts["ty"] = np.where(rng.random(n) < 0.5, 0, -1)
+        if quarter:
+            g = parts["ty"].reshape(cfg.by, cfg.bx, cfg.cap)
+            g[:, cfg.bx // 2 :, :] = -1
+            g[cfg.by // 2 :, :, :] = -1
+        return state_to_grid(state_from_numpy(parts, cfg.capacity), cfg)
+
+    for st in (rand_state(1, True), rand_state(2, False), empty_state(cfg.grid_shape)):
+        ref = st
+        e = ext_state_chunks(st, C)
+        aux = ext_step_aux(e, p, C, 8)
+        for k in range(2):
+            ref = bucket_step_pallas(
+                ref, p, interpret=True, block_rows=8, lane_chunks=C
+            )
+            e = bucket_step_pallas_ext(
+                e, p, aux, lane_chunks=C, block_rows=8, compact=compact,
+                interpret=True,
+            )
+            got = unext_state_chunks(e, C)
+            for f in st._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(ref, f)), np.asarray(getattr(got, f)),
+                    err_msg=f"step {k} field {f} compact={compact}",
+                )
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_pallas_frame_runner_ext_io_bit_identical(compact):
+    """Whole-frame runner on the persistent pad-extended layout (ext_io,
+    the lane_chunks>1 default) == the classic per-step-ext runner, across a
+    multi-chunk schedule with rebucket passes between step runs."""
+    cfg = GridConfig(5, 4, 8, move_every=4)
+    state, p = scene(cfg, nx=14, ny=14)
+    p = p._replace(steps_per_frame=np.int32(10))
+    ref = jax.tree.map(
+        np.asarray,
+        run_frame_bucket_pallas(
+            state, p, move_every=4, interpret=True, lane_chunks=2, ext_io=False
+        ),
+    )
+    got = jax.tree.map(
+        np.asarray,
+        run_frame_bucket_pallas(
+            state, p, move_every=4, interpret=True, lane_chunks=2, ext_io=True,
+            compact_tiles=compact,
+        ),
+    )
+    for f in state._fields:
+        np.testing.assert_array_equal(getattr(ref, f), getattr(got, f), err_msg=f)
+
+
 def test_pallas_step_lane_chunks_rejects_bad_split():
     state, p = scene(GridConfig(5, 4, 8), nx=8, ny=8)
     with pytest.raises(ValueError):
