@@ -158,6 +158,78 @@ def test_sharded_frame_compiled_on_hardware():
     np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-2, atol=0.5)
 
 
+def test_ext_compact_step_compiled_on_hardware():
+    """The persistent pad-extended lane-chunk step (bucket_step_pallas_ext)
+    Mosaic-compiled for real: scalar-prefetched tile order + repeated-index
+    DMA skip + input_output_aliases are pipeline features the interpret tests
+    can only emulate. Must be BIT-identical on chunk interiors to the classic
+    chunked kernel compiled in the same window — the arithmetic per block is
+    the same instruction sequence, only the schedule and HBM traffic differ.
+    Covers both the compacted and the plain-grid ext variants, two chained
+    steps each (the second step exercises refresh_ext_pads on hardware)."""
+    from particle_simulator_tpu.ops.bucket_pallas import (
+        bucket_step_pallas,
+        bucket_step_pallas_ext,
+        ext_state_chunks,
+        ext_step_aux,
+        unext_state_chunks,
+    )
+
+    cfg = GridConfig(5, 4, 8)  # bx=32, cap=8: L=256 -> C=2 chunks of 128
+    state, p = scene(cfg, nx=20, ny=20)
+    state = jax.device_put(state, tpu)
+    C = 2
+
+    ref = state
+    for _ in range(2):
+        ref = bucket_step_pallas(ref, p, block_rows=8, lane_chunks=C)
+    ref = jax.tree.map(np.asarray, ref)
+
+    for compact in (False, True):
+        e = ext_state_chunks(state, C)
+        aux = ext_step_aux(e, p, C, 8)
+        for _ in range(2):
+            e = bucket_step_pallas_ext(
+                e, p, aux, lane_chunks=C, block_rows=8, compact=compact
+            )
+        got = jax.tree.map(np.asarray, unext_state_chunks(e, C))
+        for name, u, v in zip(ref._fields, ref, got):
+            np.testing.assert_array_equal(
+                u, v, err_msg=f"compact={compact} field {name}"
+            )
+
+
+def test_ext_frame_runner_compiled_on_hardware():
+    """Whole-frame runner on the persistent ext layout (the lane_chunks>1
+    production default) vs the classic per-step-ext runner, both compiled on
+    the chip: exact equality across a schedule with rebucket passes."""
+    from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
+
+    cfg = GridConfig(5, 4, 8, move_every=4)
+    state, p = scene(cfg, nx=16, ny=16)
+    p = p._replace(steps_per_frame=np.int32(10))
+    state = jax.device_put(state, tpu)
+
+    ref = jax.tree.map(
+        np.asarray,
+        jax.jit(
+            lambda s, q: run_frame_bucket_pallas(
+                s, q, move_every=4, lane_chunks=2, ext_io=False
+            )
+        )(state, p),
+    )
+    got = jax.tree.map(
+        np.asarray,
+        jax.jit(
+            lambda s, q: run_frame_bucket_pallas(
+                s, q, move_every=4, lane_chunks=2, ext_io=True
+            )
+        )(state, p),
+    )
+    for name, u, v in zip(ref._fields, ref, got):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
+
+
 def test_leapfrog_10k_steps_energy_stable_on_hardware():
     """The BASELINE fidelity criterion on the real chip: 10k leapfrog steps
     through the compiled bucket kernel with bounded energy (the reference's
