@@ -939,7 +939,10 @@ def bucket_step_pallas_ext(
             out_shape=out_shape,
             input_output_aliases={4: 0, 5: 1, 7: 2, 8: 3},
             compiler_params=pltpu.CompilerParams(
-                vmem_limit_bytes=100 * 1024 * 1024
+                vmem_limit_bytes=100 * 1024 * 1024,
+                # the repeated-tile tail relies on sequential grid order for
+                # the same-index DMA/write-back skip — never a parallel dim
+                dimension_semantics=("arbitrary",),
             ),
             interpret=interpret,
         )(

@@ -584,7 +584,7 @@ def test_progressive_compile_serves_jnp_then_switches(monkeypatch):
     gate = threading.Event()
     calls = []
 
-    def fake_pallas(state, params, block_rows=None, lane_chunks=1):
+    def fake_pallas(state, params, block_rows=None, lane_chunks=1, **kw):
         calls.append((block_rows, lane_chunks))
         assert gate.wait(30.0), "test gate never released"
         return sim_mod._run_bucket(state, params)
@@ -638,7 +638,7 @@ def test_progressive_compile_failure_pins_jnp(monkeypatch):
 
     from particle_simulator_tpu.engine import simulator as sim_mod
 
-    def broken_pallas(state, params, block_rows=None, lane_chunks=1):
+    def broken_pallas(state, params, block_rows=None, lane_chunks=1, **kw):
         raise RuntimeError("mosaic says no")
 
     monkeypatch.setattr(sim_mod, "_run_bucket_pallas", broken_pallas)
@@ -675,7 +675,7 @@ def test_warm_start_marks_progressive_signature_hot(monkeypatch):
 
     calls = []
 
-    def fake_pallas(state, params, block_rows=None, lane_chunks=1):
+    def fake_pallas(state, params, block_rows=None, lane_chunks=1, **kw):
         calls.append((block_rows, lane_chunks))
         return sim_mod._run_bucket(state, params)
 
