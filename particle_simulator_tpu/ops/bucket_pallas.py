@@ -33,6 +33,7 @@ the jnp-vs-oracle comparisons).
 from __future__ import annotations
 
 import functools
+import os
 from typing import NamedTuple
 
 import jax
@@ -490,12 +491,17 @@ def bucket_step_pallas(
         def neighbor_rows(a, _lo=None, _hi=None):
             # rows[p] above/below block p: global rows p*ty-1 and (p+1)*ty
             # (wrapped rows at the grid edges are NOT masked in-kernel: the
-            # tombstoning below is the only edge protection)
+            # tombstoning below is the only edge protection). Strided slices
+            # + a 1-row wrap concat, NOT roll-then-slice: the rolls
+            # materialize the whole rotated array first — measured 2.19 vs
+            # 1.49 ms/step of prologue at the 1M cap-16 user grid
+            # (scripts/userscene_probe3.py, bit-identical by construction)
             a2 = a.reshape(by, L)
-            return (
-                jnp.roll(a2, 1, axis=0)[::ty_rows],
-                jnp.roll(a2, -1, axis=0)[ty_rows - 1 :: ty_rows],
+            above = jnp.concatenate(
+                [a2[by - 1 :], a2[ty_rows - 1 : by - 1 : ty_rows]], axis=0
             )
+            below = jnp.concatenate([a2[ty_rows::ty_rows], a2[:1]], axis=0)
+            return above, below
 
         xa, xb = neighbor_rows(state.x)
         ya, yb = neighbor_rows(state.y)
@@ -595,6 +601,16 @@ def bucket_step_pallas(
         _step_kernel, ty_rows=ty_rows, by=by, cap=cap,
         dynamic_passes=dynamic_passes, n_chunks=C, pad=pad,
     )
+    # PS_STEP_INPUT_FUSION=1: let XLA fuse the ext()/halo-stack producers
+    # into the pallas call instead of materializing them in HBM each step —
+    # the chunked path's prologue copies measured ~4 ms/step at the 1M
+    # cap-16 user grid (scripts/userscene_probe3.py). Experimental knob for
+    # the same-window A/B; baked in at trace time.
+    fuse = (
+        (False, False, True, True, True, True, True, True, False)
+        if os.environ.get("PS_STEP_INPUT_FUSION", "0") == "1"
+        else None
+    )
     nx, ny, nvx, nvy = pl.pallas_call(
         kernel,
         grid=grid,
@@ -614,7 +630,10 @@ def bucket_step_pallas(
         # the unrolled pass pipeline legitimately holds ~20 MB of stack at
         # wide rows (L = 8192, the 4M-particle grid); the 16 MB scoped
         # default is a compiler heuristic, not the hardware VMEM size
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+            allow_input_fusion=fuse,
+        ),
         interpret=interpret,
     )(
         params,
@@ -870,12 +889,14 @@ def bucket_step_pallas_ext(
 
     # packed neighbor rows, built directly on the extended layout: pad lanes
     # of each shipped row already mirror the neighbor chunk (refresh
-    # invariant), which is exactly what the classic path's ext(rows) produced
+    # invariant), which is exactly what the classic path's ext(rows)
+    # produced. Strided slices, not roll-then-slice (see bucket_step_pallas)
     def neighbor_rows(a2):
-        return (
-            jnp.roll(a2, 1, axis=0)[::ty_rows],
-            jnp.roll(a2, -1, axis=0)[ty_rows - 1 :: ty_rows],
+        above = jnp.concatenate(
+            [a2[g.by - 1 :], a2[ty_rows - 1 : g.by - 1 : ty_rows]], axis=0
         )
+        below = jnp.concatenate([a2[ty_rows::ty_rows], a2[:1]], axis=0)
+        return above, below
 
     xa, xb = neighbor_rows(flat(e.x))
     ya, yb = neighbor_rows(flat(e.y))
