@@ -492,7 +492,9 @@ def test_connect_files_through_http(ui, tmp_path):
     post(base, "/control", {"action": "connect_files",
                             "in": str(in_path), "out": str(out_path)})
     assert "files" in json.loads(get(base, "/stats"))["connection"]
-    deadline = time.monotonic() + 10
+    # generous: the file reader is a background thread, and this host has one
+    # CPU core — a 10 s bound flaked when a chip queue ran concurrently
+    deadline = time.monotonic() + 30
     while time.monotonic() < deadline:
         with web.lock:
             web.editor.tick(0.01)
