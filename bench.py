@@ -116,14 +116,14 @@ def main(argv=None) -> int:
                     help="[--user-scene only] override the engine's "
                          "occupancy-chosen lane-chunk count (0 = auto) — "
                          "for same-window A/B of the column-chunk skip")
-    ap.add_argument("--ext-io", choices=("auto", "off", "nocompact"),
+    ap.add_argument("--ext-io", choices=("auto", "off", "compact", "nocompact"),
                     default="auto",
-                    help="[--user-scene only] lane-chunked step layout: "
-                         "auto = persistent pad-extended state + live-tile-"
-                         "compacted schedule (the default), off = classic "
-                         "per-step ext round trip, nocompact = persistent "
-                         "layout with the plain tile grid — same-window A/B "
-                         "of the vacuum-floor work (sets PS_EXT_IO)")
+                    help="[--user-scene only] lane-chunked step layout "
+                         "(sets PS_EXT_IO): auto/off = the classic per-step "
+                         "ext (the measured winner), compact = persistent "
+                         "pad-extended state + live-tile-compacted schedule, "
+                         "nocompact = persistent layout, plain tile grid — "
+                         "the same-window A/B knob")
     ap.add_argument("--per-frame", action="store_true",
                     help="barrier every frame (1-element readback) and report "
                          "the per-frame time distribution — run-to-run "

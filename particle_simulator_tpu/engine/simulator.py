@@ -172,17 +172,21 @@ def _run_bucket(state: ParticleState, p: SimParams) -> ParticleState:
 
 
 def _ext_io_mode() -> tuple[bool | None, bool]:
-    """(ext_io, compact_tiles) for the lane-chunked runner, from PS_EXT_IO:
-    "auto" (default; persistent pad-extended layout + live-tile-compacted
-    schedule whenever lane_chunks > 1), "off" (classic per-step ext), or
-    "nocompact" (persistent layout, classic tile grid) — the same-window A/B
-    knob for `bench.py --user-scene --ext-io ...`."""
-    mode = os.environ.get("PS_EXT_IO", "auto").lower()
-    if mode in ("off", "0", "classic"):
-        return False, True
+    """(ext_io, compact_tiles) for the lane-chunked runner, from PS_EXT_IO.
+    Default is the CLASSIC per-step-ext path: the persistent pad-extended
+    layout (+ live-tile-compacted schedule) proved bit-identical on chip but
+    measured at or below classic in every same-window user-scene A/B
+    (83.7/81.9/80.3 pre-strided-halo, 94.5/94.4/90.9 with it) — the dead-tile
+    DMA it removes was already hidden under pair math, and the compacted
+    schedule's scalar-prefetch bookkeeping costs what the skip saves. The
+    machinery stays opt-in ("compact"/"nocompact") for sparser scenes and is
+    hw-tested; `bench.py --user-scene --ext-io ...` is the A/B knob."""
+    mode = os.environ.get("PS_EXT_IO", "off").lower()
+    if mode in ("compact", "auto", "on", "1"):
+        return True, True
     if mode == "nocompact":
         return True, False
-    return None, True
+    return False, True
 
 
 @functools.partial(

@@ -601,14 +601,15 @@ def bucket_step_pallas(
         _step_kernel, ty_rows=ty_rows, by=by, cap=cap,
         dynamic_passes=dynamic_passes, n_chunks=C, pad=pad,
     )
-    # PS_STEP_INPUT_FUSION=1: let XLA fuse the ext()/halo-stack producers
-    # into the pallas call instead of materializing them in HBM each step —
-    # the chunked path's prologue copies measured ~4 ms/step at the 1M
-    # cap-16 user grid (scripts/userscene_probe3.py). Experimental knob for
-    # the same-window A/B; baked in at trace time.
+    # Input fusion (default ON; PS_STEP_INPUT_FUSION=0 opts out): XLA fuses
+    # the ext()/halo-stack producers into the pallas call instead of
+    # materializing them in HBM each step. Same-window chip A/B at the 1M
+    # cap-16 user grid: 94.5 -> 96.2 steps/s on top of the strided halo
+    # build (data-movement producers only — values are unchanged). Baked in
+    # at trace time; interpret mode ignores compiler params.
     fuse = (
         (False, False, True, True, True, True, True, True, False)
-        if os.environ.get("PS_STEP_INPUT_FUSION", "0") == "1"
+        if os.environ.get("PS_STEP_INPUT_FUSION", "1") == "1"
         else None
     )
     nx, ny, nvx, nvy = pl.pallas_call(
@@ -1385,17 +1386,20 @@ def run_frame_bucket_pallas(
     state: the unrolled chunk body holds more live buffers and measured
     27 -> 16 steps/s at 16M (320 MB state), while 1M (20 MB) gains ~7%.
 
-    Lane-chunked frames (``lane_chunks`` > 1, sparse user scenes) default to
-    the PERSISTENT pad-extended layout (``ext_io``): the whole-grid ext/unext
-    copies ride the schedule's enter/exit hooks (once per move cadence
-    instead of per step) and the flags/omax/tile-order prologue hoists with
-    them; ``compact_tiles`` additionally schedules the pallas grid live-tiles
-    first so dead tiles cost no HBM traffic (bucket_step_pallas_ext).
-    ``ext_io=False`` keeps the classic per-step ext for A/B measurement."""
+    ``ext_io=True`` (opt-in) threads lane-chunked frames through the
+    PERSISTENT pad-extended layout: the whole-grid ext/unext copies ride the
+    schedule's enter/exit hooks (once per move cadence instead of per step)
+    and the flags/omax/tile-order prologue hoists with them;
+    ``compact_tiles`` additionally schedules the pallas grid live-tiles
+    first so dead tiles cost no HBM traffic (bucket_step_pallas_ext). It
+    stays OFF by default: bit-identical on chip, but every same-window 1M
+    user-scene A/B measured it at or below the classic path (the dead-tile
+    DMA it removes already hides under pair math; see engine/simulator.py
+    _ext_io_mode)."""
     by, bx, cap = state.x.shape
     big_state = by * bx * cap * 20 > 128 * 2**20
     if ext_io is None:
-        ext_io = lane_chunks > 1
+        ext_io = False
 
     def move(s):
         return bucket_move_pallas(s, interpret=interpret)
