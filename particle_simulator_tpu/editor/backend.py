@@ -120,7 +120,10 @@ class Backend:
             # TCP socket surfaces on the next write anyway
             self._reader.close()
             self._reader = None
-            self.connection_details = "backend disconnected (read)"
+            # keep naming the transport that died: a finished file replay or a
+            # dropped engine read identically as Disconnected, and the status
+            # line is the only place the user (and tests) can tell which
+            self.connection_details = f"backend disconnected (read); was {self.connection_details}"
             return None
 
     def write(self, frame: Frame) -> None:
@@ -137,7 +140,7 @@ class Backend:
             return
         if not self._writer.write(frame):
             self._writer = None
-            self.connection_details = "backend disconnected (write)"
+            self.connection_details = f"backend disconnected (write); was {self.connection_details}"
             if self._reader is None:
                 self._loopback.append(frame.copy())
 

@@ -37,6 +37,7 @@ from __future__ import annotations
 import argparse
 import json
 import struct
+import base64
 import sys
 import threading
 import time
@@ -56,6 +57,7 @@ from particle_simulator_tpu.editor.tools import (
     ToolOptions,
     lattice_resolution,
 )
+from particle_simulator_tpu.utils.numfmt import NumFormat, NumFormatter
 _BIN_MAGIC = 0x4E494250  # "PBIN" little-endian
 _BIN_HEADER = struct.Struct("<IIfffffffI")  # 40 bytes
 
@@ -195,6 +197,7 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
   <button onclick="document.getElementById('viewbox').requestFullscreen()">fullscreen</button>
 
   <div id="stats"></div>
+  <div id="selftest" style="font-size:11px;margin-top:6px"></div>
   <div style="font-size:11px;color:#666;margin-top:8px">
     <kbd>space</kbd> play <kbd>&larr;&rarr;</kbd> seek <kbd>L</kbd> lattice
     <kbd>C</kbd> clear timeline <kbd>X</kbd> clear scene <kbd>D</kbd> disconnect <kbd>B</kbd>rush <kbd>E</kbd>raser
@@ -419,42 +422,85 @@ function guiState() {
 }
 
 // ---- number formats (number_formatter.rs: Dashed / Scientific / Metric) ----
+// Mirrors utils/numfmt.py NumFormatter (significant=4) STEP FOR STEP so the
+// Python-generated SELFTEST vectors pin both implementations to one spec.
 const SUP = {'-': '\\u207b', '0': '\\u2070', '1': '\\u00b9', '2': '\\u00b2', '3': '\\u00b3',
              '4': '\\u2074', '5': '\\u2075', '6': '\\u2076', '7': '\\u2077', '8': '\\u2078', '9': '\\u2079'};
 const SI = [[1e9, 'G'], [1e6, 'M'], [1e3, 'k'], [1, ''], [1e-3, 'm'], [1e-6, '\\u00b5'],
             [1e-9, 'n'], [1e-12, 'p'], [1e-15, 'f']];
-function fmtNum(x, unit) {
-  if (typeof x !== 'number' || !isFinite(x)) return String(x);
-  const fmt = document.getElementById('gnumfmt').value;
+const FMT_SIG = 4;  // NumFormatter's default significant figures
+function trimNum(s) {  // numfmt._trim: rstrip zeros then the dot
+  if (s.indexOf('.') < 0) return s;
+  s = s.replace(/0+$/, '');
+  return s.slice(-1) === '.' ? s.slice(0, -1) : s;
+}
+function groupUnderscores(s) {  // numfmt.format_with_underscores
+  let sign = '';
+  if (s[0] === '+' || s[0] === '-') { sign = s[0]; s = s.slice(1); }
+  const di = s.indexOf('.');
+  const ip = di < 0 ? s : s.slice(0, di);
+  const frac = di < 0 ? '' : s.slice(di);
+  return sign + ip.replace(/\\B(?=(\\d{3})+(?!\\d))/g, '_') + frac;
+}
+function fmtNum(x, unit, fmt) {
   unit = unit || '';
-  if (x === 0) return '0 ' + unit;
+  if (typeof x !== 'number' || !isFinite(x)) return String(x) + unit;
+  fmt = fmt || document.getElementById('gnumfmt').value;
+  const v = x === 0 ? 0 : Number(x.toPrecision(FMT_SIG));  // numfmt._round_sig
   if (fmt === 'dashed') {
-    const neg = x < 0 ? '-' : '';
-    const a = Math.abs(x);
-    const fix = Number.isInteger(a) ? a.toFixed(0) : a < 1 ? a.toPrecision(3) : a.toFixed(2);
-    const dp = fix.split('.');
-    return neg + dp[0].replace(/\\B(?=(\\d{3})+(?!\\d))/g, '_') +
-           (dp[1] ? '.' + dp[1] : '') + unit;
+    const body = v ? trimNum(v.toFixed(FMT_SIG)) : '0';
+    return groupUnderscores(body) + unit;
   }
   if (fmt === 'scientific') {
-    if (x === 0) return '0' + unit;
-    const e = Math.floor(Math.log10(Math.abs(x)));
-    const mant = (x / Math.pow(10, e)).toPrecision(3);
-    const sup = String(e).split('').map(c => SUP[c] || c).join('');
-    return mant + '\\u00d710' + sup + unit;
+    if (v === 0) return '0' + unit;
+    const me = v.toExponential(FMT_SIG - 1).split('e');  // exact-decimal exp
+    const mant = trimNum(me[0]);
+    const exp = parseInt(me[1], 10);
+    if (exp === 0) return mant + unit;
+    const sup = String(exp).split('').map(c => SUP[c] || c).join('');
+    return mant + '\\u00b710' + sup + unit;
   }
-  // metric (SI prefixes G..f)
+  // metric (SI prefixes G..f, femto fallback like numfmt.py:100-101)
+  if (v === 0) return '0' + unit;
   for (const [scale, prefix] of SI) {
-    if (Math.abs(x) >= scale || scale === 1e-15) {
-      return (x / scale).toPrecision(3) + ' ' + prefix + unit;
+    if (Math.abs(v) >= scale || scale === 1e-15) {
+      return trimNum((v / scale).toFixed(FMT_SIG - 1)) + prefix + unit;
     }
   }
-  return String(x) + unit;
+  return String(v) + unit;
 }
 gl.clearColor(0.05, 0.05, 0.08, 1.0);
 
 // ---- frame fetch loop (engine-rate) + rAF render (display-rate) ----
 let cur = null;  // {count, frameTime, playTime, playSpeed, boxW, boxH, vscale, sigma, flags, fetchedAt}
+function parsePBIN(ab) {  // 40-byte header (frame_bin docstring); null if not PBIN
+  const dv = new DataView(ab);
+  if (ab.byteLength < 40 || dv.getUint32(0, true) !== 0x4e494250) return null;
+  return {
+    count: dv.getUint32(4, true),
+    frameTime: dv.getFloat32(8, true),
+    playTime: dv.getFloat32(12, true),
+    playSpeed: dv.getFloat32(16, true),
+    boxW: dv.getFloat32(20, true),
+    boxH: dv.getFloat32(24, true),
+    vscale: dv.getFloat32(28, true),
+    sigma: dv.getFloat32(32, true),
+    flags: dv.getUint32(36, true),
+  };
+}
+function dequantParticle(ab, h, i) {  // the GL attribute pipeline, in JS:
+  // u16 normalized -> box fraction (v/65535); i16 normalized -> clamp(v/32767,
+  // -1, 1) * vscale m/s (vertexAttribPointer normalized SHORT semantics)
+  const dv = new DataView(ab, 40 + 8 * i, 8);
+  return [dv.getUint16(0, true) / 65535, dv.getUint16(2, true) / 65535,
+          Math.max(dv.getInt16(4, true) / 32767, -1) * h.vscale,
+          Math.max(dv.getInt16(6, true) / 32767, -1) * h.vscale];
+}
+function extrapDt(f, nowMs) {  // sim-seconds the shader extrapolates (shader.wgsl:96)
+  const playing = (f.flags & 2) !== 0 && (f.flags & 1) === 0;
+  const wallDt = playing ? (nowMs - f.fetchedAt) / 1000 * f.playSpeed : 0;
+  return (f.playTime - f.frameTime) + wallDt;
+}
 let fetching = false;
 async function fetchFrame() {
   if (fetching) return;
@@ -462,20 +508,9 @@ async function fetchFrame() {
   try {
     const r = await fetch('/frame.bin');
     const ab = await r.arrayBuffer();
-    const dv = new DataView(ab);
-    if (ab.byteLength < 40 || dv.getUint32(0, true) !== 0x4e494250) return;
-    const f = {
-      count: dv.getUint32(4, true),
-      frameTime: dv.getFloat32(8, true),
-      playTime: dv.getFloat32(12, true),
-      playSpeed: dv.getFloat32(16, true),
-      boxW: dv.getFloat32(20, true),
-      boxH: dv.getFloat32(24, true),
-      vscale: dv.getFloat32(28, true),
-      sigma: dv.getFloat32(32, true),
-      flags: dv.getUint32(36, true),
-      fetchedAt: performance.now(),
-    };
+    const f = parsePBIN(ab);
+    if (!f) return;
+    f.fetchedAt = performance.now();
     gl.bindBuffer(gl.ARRAY_BUFFER, buf);
     gl.bufferData(gl.ARRAY_BUFFER, new Uint8Array(ab, 40), gl.DYNAMIC_DRAW);
     cur = f;
@@ -496,10 +531,7 @@ function draw() {
   if (cur && cur.count > 0) {
     if (g.add) { gl.enable(gl.BLEND); gl.blendFunc(gl.ONE, gl.ONE); }
     else gl.disable(gl.BLEND);
-    const playing = (cur.flags & 2) !== 0 && (cur.flags & 1) === 0;
-    const wallDt = playing ? (performance.now() - cur.fetchedAt) / 1000 * cur.playSpeed : 0;
-    const dt = (cur.playTime - cur.frameTime) + wallDt;
-    gl.uniform1f(U('u_dt'), g.interp ? dt : 0.0);
+    gl.uniform1f(U('u_dt'), g.interp ? extrapDt(cur, performance.now()) : 0.0);
     gl.uniform1f(U('u_vscale'), cur.vscale);
     gl.uniform2f(U('u_box'), cur.boxW, cur.boxH);
     gl.uniform1f(U('u_psize'), Math.max(g.minpx, cur.sigma / cur.boxW * W));
@@ -573,7 +605,142 @@ setInterval(async () => {
     document.getElementById('stats').textContent = statsText(s);
   } catch (e) {}
 }, 500);
+
+// ---- in-page self-test -------------------------------------------------------
+// There is no JS engine in CI, so the executable coverage for this script runs
+// HERE: the server embeds golden vectors generated by the PYTHON reference
+// implementations (utils/numfmt.py NumFormatter, frame_bin's PBIN encoder, the
+// extrapolation spec), the page replays them through the live fmtNum /
+// parsePBIN / dequantParticle / extrapDt on every load, and POSTs the result
+// to /selftest (surfaced in /stats as "selftest" — tests/test_webview.py
+// asserts the vectors match the Python side, any real browser asserts the JS).
+const SELFTEST = "__SELFTEST_JSON__";
+function runSelfTest() {
+  const fails = [];
+  let checks = 0;
+  const near = (a, b, tol) => Math.abs(a - b) <= tol * Math.max(1, Math.abs(b));
+  const expect = (ok, msg) => { checks++; if (!ok) fails.push(msg); };
+  try {
+    for (const [x, unit, fmt, want] of SELFTEST.fmt) {
+      const got = fmtNum(x, unit, fmt);
+      expect(got === want, 'fmtNum(' + x + ',' + fmt + '): "' + got + '" != "' + want + '"');
+    }
+    const raw = atob(SELFTEST.pbin.b64);
+    const ab = new ArrayBuffer(raw.length);
+    const u8 = new Uint8Array(ab);
+    for (let i = 0; i < raw.length; i++) u8[i] = raw.charCodeAt(i);
+    const h = parsePBIN(ab), want = SELFTEST.pbin.expected;
+    expect(!!h, 'parsePBIN rejected the golden header');
+    if (h) {
+      for (const k of ['count', 'flags'])
+        expect(h[k] === want[k], 'pbin.' + k + ': ' + h[k] + ' != ' + want[k]);
+      for (const k of ['frameTime', 'playTime', 'playSpeed', 'boxW', 'boxH', 'vscale', 'sigma'])
+        expect(near(h[k], want[k], 1e-7), 'pbin.' + k + ': ' + h[k] + ' != ' + want[k]);
+      for (let i = 0; i < want.particles.length; i++) {
+        const got = dequantParticle(ab, h, i);
+        for (let j = 0; j < 4; j++)
+          expect(near(got[j], want.particles[i][j], 1e-9),
+                 'pbin p' + i + '[' + j + ']: ' + got[j] + ' != ' + want.particles[i][j]);
+      }
+    }
+    for (const c of SELFTEST.extrap) {
+      const got = extrapDt({frameTime: c[0], playTime: c[1], playSpeed: c[2],
+                            flags: c[3], fetchedAt: c[4]}, c[5]);
+      expect(near(got, c[6], 1e-12), 'extrapDt: ' + got + ' != ' + c[6]);
+    }
+    // the GL pipeline itself: context up, shaders linked (shader() throws on
+    // compile errors before we get here), no pending error
+    expect(!!gl, 'webgl context creation failed');
+    if (gl) expect(gl.getError() === gl.NO_ERROR, 'webgl error flag set');
+  } catch (e) { checks++; fails.push('exception: ' + e); }
+  post('/selftest', {total: checks, failed: fails.length, failures: fails.slice(0, 20)});
+  const el = document.getElementById('selftest');
+  el.textContent = 'js self-test: ' + (fails.length
+      ? fails.length + '/' + checks + ' FAILED — ' + fails[0] : checks + '/' + checks + ' ok');
+  el.style.color = fails.length ? '#e66' : '#6a6';
+}
+runSelfTest();
 </script></body></html>"""
+
+
+def extrap_dt_spec(frame_time: float, play_time: float, play_speed: float,
+                   flags: int, fetched_at_ms: float, now_ms: float) -> float:
+    """The spec for the browser's velocity-extrapolation time: sim-seconds the
+    vertex shader advances positions by (shader.wgsl:96 analog). Extrapolation
+    runs only while auto-playing (flags bit1) and not editing (flags bit0);
+    the wall-clock gap since the payload was fetched scales by play_speed and
+    stacks on the frame→play-cursor gap the server already reports."""
+    playing = (flags & 2) != 0 and (flags & 1) == 0
+    wall = (now_ms - fetched_at_ms) / 1000.0 * play_speed if playing else 0.0
+    return (play_time - frame_time) + wall
+
+
+def selftest_vectors() -> dict:
+    """Golden vectors for the page's in-page JS self-test (runSelfTest).
+
+    Generated by the PYTHON reference implementations so one spec pins both
+    languages: fmtNum mirrors utils/numfmt.py NumFormatter (significant=4),
+    parsePBIN/dequantParticle mirror frame_bin's encoding + the GL normalized
+    attribute rules, extrapDt mirrors extrap_dt_spec. tests/test_webview.py
+    asserts these vectors against the Python side and independently re-decodes
+    the PBIN golden; a real browser asserts the JS side on every page load.
+    Tie values (exact decimal .5 at the 5th significant digit) are excluded:
+    Python rounds half-even, JS toPrecision half-up."""
+    fmt_cases = []
+    for fmt, vals in {
+        "metric": [(0.0, "s"), (5e-14, "s"), (1500.0, ""), (2.5e-7, "s"),
+                   (1.5e9, "B"), (-0.00042, "s"), (9.87e-16, "s"),
+                   (123.456, ""), (1048576.0, "B")],
+        "scientific": [(0.0, "s"), (1.0, "s"), (6.022e23, ""), (-2.5e-7, "s"),
+                       (0.001, "s"), (42.0, "")],
+        "dashed": [(0.0, ""), (1234567.89, ""), (-1234.56, ""), (0.05, "s"),
+                   (3.14159, ""), (2500.0, "")],
+    }.items():
+        f = NumFormatter(NumFormat(fmt), significant=4)
+        for x, unit in vals:
+            fmt_cases.append([x, unit, fmt, f.format(x, unit)])
+
+    # PBIN golden: 3 hand-picked quantized records through the real header
+    # layout; p2.vx = -32768 exercises the GL SHORT-normalized clamp to -1
+    body = np.zeros(3, dtype=[("x", "<u2"), ("y", "<u2"), ("vx", "<i2"), ("vy", "<i2")])
+    body[0] = (0, 65535, 32767, -32767)
+    body[1] = (32768, 16384, 0, 1)
+    body[2] = (12345, 54321, -32768, 12345)
+    hdr = (0.25, 0.75, 2.0, 5e-8, 4e-8, 800.0, 3.4e-10)
+    blob = _BIN_HEADER.pack(_BIN_MAGIC, len(body), *hdr, 2) + body.tobytes()
+    f32 = lambda v: float(np.float32(v))  # noqa: E731 - DataView.getFloat32 widening
+    vscale = f32(800.0)
+    expected = {
+        "count": len(body), "frameTime": f32(0.25), "playTime": f32(0.75),
+        "playSpeed": f32(2.0), "boxW": f32(5e-8), "boxH": f32(4e-8),
+        "vscale": vscale, "sigma": f32(3.4e-10), "flags": 2,
+        "particles": [
+            [int(r["x"]) / 65535, int(r["y"]) / 65535,
+             max(int(r["vx"]) / 32767, -1) * vscale,
+             max(int(r["vy"]) / 32767, -1) * vscale]
+            for r in body
+        ],
+    }
+
+    extrap = []
+    for ft, pt, speed, flags, fetched, now in [
+        (0.0, 1.5e-12, 1e-11, 2, 0.0, 500.0),     # playing: += 0.5 s wall * speed
+        (0.0, 1.5e-12, 1e-11, 3, 0.0, 500.0),     # editing (bit0) gates extrapolation
+        (1e-12, 1.5e-12, 1e-11, 0, 100.0, 600.0),  # paused: frame->cursor gap only
+    ]:
+        extrap.append([ft, pt, speed, flags, fetched, now,
+                       extrap_dt_spec(ft, pt, speed, flags, fetched, now)])
+
+    return {
+        "fmt": fmt_cases,
+        "pbin": {"b64": base64.b64encode(blob).decode(), "expected": expected},
+        "extrap": extrap,
+    }
+
+
+def render_page() -> str:
+    """The UI page with the self-test golden vectors baked in."""
+    return _PAGE.replace('"__SELFTEST_JSON__"', json.dumps(selftest_vectors()))
 
 
 class WebEditor:
@@ -592,6 +759,7 @@ class WebEditor:
             self.editor.presets = Presets.load_dir(presets_dir)
         self._bin_cache = None  # (frame, count, vmax, body bytes)
         self._vmax_scale = None  # smoothed velocity quantization scale
+        self.selftest = None  # last in-page JS self-test result (POST /selftest)
         self.lock = threading.Lock()
         # serializes _persist_presets end-to-end: ThreadingHTTPServer handles
         # each request on its own thread, and two overlapping write_dir calls
@@ -907,6 +1075,7 @@ class WebEditor:
             st["loop"] = self.editor.loop
             st["send_clear"] = self.editor.next_send_and_clear
             st["presets"] = len(self.editor.presets)
+            st["selftest"] = self.selftest
             # ghost of the engine's active cursor (editor.rs:423-431): the
             # engine echoes cursor_pos in every outbound frame's metadata
             frame, _ = self.editor.display_frame()
@@ -945,6 +1114,8 @@ def _png_bytes(img: np.ndarray) -> bytes:
 
 
 def make_server(http_addr, web: WebEditor) -> ThreadingHTTPServer:
+    page = render_page().encode()
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *args):  # quiet
             pass
@@ -960,7 +1131,7 @@ def make_server(http_addr, web: WebEditor) -> ThreadingHTTPServer:
         def do_GET(self):
             path = urlparse(self.path).path
             if path == "/":
-                self._send(200, _PAGE.encode(), "text/html")
+                self._send(200, page, "text/html")
             elif path == "/frame.png":
                 self._send(200, web.frame_png(), "image/png")
             elif path == "/frame.bin":
@@ -988,6 +1159,12 @@ def make_server(http_addr, web: WebEditor) -> ThreadingHTTPServer:
                 web.cursor(req)
             elif path == "/tool":
                 out = web.tool(req)
+            elif path == "/selftest":
+                web.selftest = {
+                    "total": int(req.get("total", 0)),
+                    "failed": int(req.get("failed", 0)),
+                    "failures": [str(s) for s in req.get("failures", [])][:20],
+                }
             self._send(200, json.dumps(out).encode(), "application/json")
 
     return ThreadingHTTPServer(http_addr, Handler)

@@ -560,3 +560,88 @@ def test_box_size_and_gpu_threads_params_through_http(ui):
     assert float(sp["box_width"]) == pytest.approx(8e-8)
     assert float(sp["box_height"]) == pytest.approx(2.5e-8)
     assert int(sp["gpu_threads_per_block_log2"]) == 5
+
+
+def test_selftest_vectors_pin_the_python_spec():
+    """The in-page JS self-test replays Python-generated golden vectors; this
+    guards the Python half of the contract: the embedded fmtNum expectations
+    ARE NumFormatter's output, the PBIN golden independently re-decodes to the
+    embedded expectations (struct, not the encoder), and the extrapolation
+    rows match extrap_dt_spec. Any real browser asserts the JS half on load
+    and POSTs the verdict to /selftest."""
+    import base64
+    import struct
+
+    from particle_simulator_tpu.editor.webview import (
+        extrap_dt_spec,
+        selftest_vectors,
+    )
+    from particle_simulator_tpu.utils.numfmt import NumFormat, NumFormatter
+
+    v = selftest_vectors()
+
+    assert len(v["fmt"]) >= 15
+    styles = {c[2] for c in v["fmt"]}
+    assert styles == {"metric", "scientific", "dashed"}
+    for x, unit, fmt, want in v["fmt"]:
+        got = NumFormatter(NumFormat(fmt), significant=4).format(x, unit)
+        assert got == want, (x, fmt)
+
+    blob = base64.b64decode(v["pbin"]["b64"])
+    exp = v["pbin"]["expected"]
+    magic, count, ft, pt, speed, bw, bh, vscale, sigma, flags = struct.unpack_from(
+        "<IIfffffffI", blob, 0
+    )
+    assert magic == 0x4E494250 and count == exp["count"] == 3
+    assert flags == exp["flags"]
+    for got, key in [(ft, "frameTime"), (pt, "playTime"), (speed, "playSpeed"),
+                     (bw, "boxW"), (bh, "boxH"), (vscale, "vscale"),
+                     (sigma, "sigma")]:
+        assert got == pytest.approx(exp[key], rel=1e-7), key
+    assert len(blob) == 40 + 8 * count
+    for i in range(count):
+        x, y, vx, vy = struct.unpack_from("<HHhh", blob, 40 + 8 * i)
+        want = exp["particles"][i]
+        assert x / 65535 == pytest.approx(want[0], abs=1e-12)
+        assert y / 65535 == pytest.approx(want[1], abs=1e-12)
+        # GL SHORT-normalized semantics: clamp(v/32767, -1, 1) * vscale
+        assert max(vx / 32767, -1) * vscale == pytest.approx(want[2], rel=1e-9)
+        assert max(vy / 32767, -1) * vscale == pytest.approx(want[3], rel=1e-9)
+    # the clamp case is actually present (i16 -32768 -> exactly -vscale)
+    assert any(p[2] == -vscale or p[3] == -vscale for p in exp["particles"])
+
+    for ft, pt, speed, flags, fetched, now, want in v["extrap"]:
+        assert extrap_dt_spec(ft, pt, speed, flags, fetched, now) == want
+    # both the playing and the gated branch are covered
+    gates = {(int(r[3]) & 2 != 0 and int(r[3]) & 1 == 0) for r in v["extrap"]}
+    assert gates == {True, False}
+
+
+def test_selftest_endpoint_roundtrips_into_stats(ui):
+    """POST /selftest (what runSelfTest sends) surfaces in /stats so a headless
+    driver can read the browser's verdict without scraping the page."""
+    web, base = ui
+    assert json.loads(get(base, "/stats"))["selftest"] is None
+    post(base, "/selftest", {"total": 40, "failed": 1,
+                             "failures": ["fmtNum(42,metric): x != y"]})
+    st = json.loads(get(base, "/stats"))["selftest"]
+    assert st == {"total": 40, "failed": 1,
+                  "failures": ["fmtNum(42,metric): x != y"]}
+
+
+def test_page_embeds_selftest_vectors(ui):
+    """The served page carries the golden vectors and the runner; the
+    placeholder must be gone (a page with the literal string would silently
+    skip every check)."""
+    web, base = ui
+    page = get(base, "/").decode()
+    assert "__SELFTEST_JSON__" not in page
+    assert "runSelfTest" in page and "'/selftest'" in page
+    # the embedded JSON parses back and matches the generator
+    import re
+
+    from particle_simulator_tpu.editor.webview import selftest_vectors
+
+    m = re.search(r"const SELFTEST = (\{.*?\});\n", page, re.S)
+    assert m, "SELFTEST literal missing"
+    assert json.loads(m.group(1)) == json.loads(json.dumps(selftest_vectors()))
