@@ -180,7 +180,12 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
   <label>number format
     <select id="gnumfmt"><option value="metric" selected>metric</option>
       <option value="scientific">scientific</option><option value="dashed">dashed</option></select>
+    significant digits <input type="number" id="gsig" min="1" max="8" value="4" style="width:40px">
   </label>
+  <label>number color <input type="color" id="gnumcolor" value="#8f93a8"
+    oninput="for (const id of ['stats','fps']) document.getElementById(id).style.color = this.value"></label>
+  <label><input type="checkbox" id="gcstroke"> cursor stroke
+    <span style="color:#666">(force radius shown while idle, editor.rs:398)</span></label>
   <label>style
     <select id="gstyle"><option value="0" selected>flat</option>
       <option value="1">RTX ultra (shaded)</option><option value="2">RTX rgb</option></select>
@@ -195,6 +200,8 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
     slow <input type="color" id="gcslow" value="#0033ff">
     fast <input type="color" id="gcfast" value="#ff3300"></label>
   <button onclick="document.getElementById('viewbox').requestFullscreen()">fullscreen</button>
+  <button id="b_boom" onclick="toggleBoom()"
+    title="detach the panel into a floating window over the canvas (editor.rs:1403-1410)">boom</button>
 
   <div id="stats"></div>
   <div id="selftest" style="font-size:11px;margin-top:6px"></div>
@@ -429,6 +436,11 @@ const SUP = {'-': '\\u207b', '0': '\\u2070', '1': '\\u00b9', '2': '\\u00b2', '3'
 const SI = [[1e9, 'G'], [1e6, 'M'], [1e3, 'k'], [1, ''], [1e-3, 'm'], [1e-6, '\\u00b5'],
             [1e-9, 'n'], [1e-12, 'p'], [1e-15, 'f']];
 const FMT_SIG = 4;  // NumFormatter's default significant figures
+function fmtSig() {  // "Significant Digits" DragValue, 1..=8 (editor.rs:1327-1329)
+  const el = document.getElementById('gsig');
+  const v = el ? parseInt(el.value, 10) : FMT_SIG;
+  return isNaN(v) ? FMT_SIG : Math.min(8, Math.max(1, v));
+}
 function trimNum(s) {  // numfmt._trim: rstrip zeros then the dot
   if (s.indexOf('.') < 0) return s;
   s = s.replace(/0+$/, '');
@@ -446,14 +458,15 @@ function fmtNum(x, unit, fmt) {
   unit = unit || '';
   if (typeof x !== 'number' || !isFinite(x)) return String(x) + unit;
   fmt = fmt || document.getElementById('gnumfmt').value;
-  const v = x === 0 ? 0 : Number(x.toPrecision(FMT_SIG));  // numfmt._round_sig
+  const sig = fmtSig();
+  const v = x === 0 ? 0 : Number(x.toPrecision(sig));  // numfmt._round_sig
   if (fmt === 'dashed') {
-    const body = v ? trimNum(v.toFixed(FMT_SIG)) : '0';
+    const body = v ? trimNum(v.toFixed(sig)) : '0';
     return groupUnderscores(body) + unit;
   }
   if (fmt === 'scientific') {
     if (v === 0) return '0' + unit;
-    const me = v.toExponential(FMT_SIG - 1).split('e');  // exact-decimal exp
+    const me = v.toExponential(sig - 1).split('e');  // exact-decimal exp
     const mant = trimNum(me[0]);
     const exp = parseInt(me[1], 10);
     if (exp === 0) return mant + unit;
@@ -464,7 +477,7 @@ function fmtNum(x, unit, fmt) {
   if (v === 0) return '0' + unit;
   for (const [scale, prefix] of SI) {
     if (Math.abs(v) >= scale || scale === 1e-15) {
-      return trimNum((v / scale).toFixed(FMT_SIG - 1)) + prefix + unit;
+      return trimNum((v / scale).toFixed(sig - 1)) + prefix + unit;
     }
   }
   return String(v) + unit;
@@ -557,7 +570,7 @@ function draw() {
 requestAnimationFrame(draw);
 
 // ---- overlay: engine cursor ghost + brush footprint ----
-let ghost = null, cellFrac = {x: 0.01, y: 0.01};
+let ghost = null, cellFrac = {x: 0.01, y: 0.01}, cursorFrac = 0.05;
 function drawOverlay() {
   octx.clearRect(0, 0, W, H);
   if (ghost && ghost.x >= 0) {
@@ -572,7 +585,46 @@ function drawOverlay() {
     octx.strokeStyle = activeTool === 'eraser' ? 'rgba(255,80,80,0.7)' : 'rgba(120,255,120,0.7)';
     octx.strokeRect(mousePt.x * W - w / 2, (1 - mousePt.y) * H - h / 2, w, h);
   }
+  // local cursor-force radius ring: while pressed, or always with the
+  // "cursor stroke" GUI checkbox on (editor.rs:388-399, white_alpha(50))
+  if (mousePt && activeTool === 'cursor' &&
+      (down || document.getElementById('gcstroke').checked)) {
+    octx.strokeStyle = 'rgba(255,255,255,0.2)';
+    octx.beginPath();
+    octx.arc(mousePt.x * W, (1 - mousePt.y) * H, cursorFrac / 2 * W, 0, 2 * Math.PI);
+    octx.stroke();
+  }
 }
+
+// ---- Boom / Reconstruct: detach the panel into a floating window ----------
+// (editor.rs:1403-1410 floating_windows; the browser analog floats the whole
+// side panel over the canvas, draggable by its title)
+let boomDrag = null;
+function toggleBoom() {
+  const side = document.getElementById('side');
+  const floating = side.style.position !== 'fixed';
+  side.style.position = floating ? 'fixed' : '';
+  side.style.left = floating ? '60px' : '';
+  side.style.top = floating ? '40px' : '';
+  side.style.zIndex = floating ? '10' : '';
+  side.style.height = floating ? '80vh' : '';
+  side.style.background = floating ? 'rgba(16,16,24,0.92)' : '';
+  side.style.border = floating ? '1px solid #444' : '';
+  document.getElementById('b_boom').textContent = floating ? 'reconstruct' : 'boom';
+}
+document.querySelector('#side h3').onmousedown = e => {
+  const side = document.getElementById('side');
+  if (side.style.position !== 'fixed') return;
+  boomDrag = {dx: e.clientX - side.offsetLeft, dy: e.clientY - side.offsetTop};
+  e.preventDefault();
+};
+window.addEventListener('mousemove', e => {
+  if (!boomDrag) return;
+  const side = document.getElementById('side');
+  side.style.left = (e.clientX - boomDrag.dx) + 'px';
+  side.style.top = (e.clientY - boomDrag.dy) + 'px';
+});
+window.addEventListener('mouseup', () => { boomDrag = null; });
 
 // stats panel (editor.rs:1228-1289), numbers through the selected format
 function statsText(s) {
@@ -599,6 +651,7 @@ setInterval(async () => {
     const s = await (await fetch('/stats')).json();
     ghost = s.engine_cursor || null;
     if (s.cell_frac) cellFrac = s.cell_frac;
+    if (typeof s.cursor_frac === 'number') cursorFrac = s.cursor_frac;
     document.getElementById('b_play').classList.toggle('on', !!s.interactive);
     document.getElementById('b_loop').classList.toggle('on', !!s.loop);
     document.getElementById('sendclear').checked = !!s.send_clear;
@@ -1076,6 +1129,9 @@ class WebEditor:
             st["send_clear"] = self.editor.next_send_and_clear
             st["presets"] = len(self.editor.presets)
             st["selftest"] = self.selftest
+            # cursor-force radius as a BOX FRACTION for the local stroke ring
+            # (metadata cursor_size is already normalized, physics/mie.py:192)
+            st["cursor_frac"] = float(self.editor.sim_params["cursor_size"])
             # ghost of the engine's active cursor (editor.rs:423-431): the
             # engine echoes cursor_pos in every outbound frame's metadata
             frame, _ = self.editor.display_frame()

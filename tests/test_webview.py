@@ -645,3 +645,19 @@ def test_page_embeds_selftest_vectors(ui):
     m = re.search(r"const SELFTEST = (\{.*?\});\n", page, re.S)
     assert m, "SELFTEST literal missing"
     assert json.loads(m.group(1)) == json.loads(json.dumps(selftest_vectors()))
+
+
+def test_gui_panel_parity_controls_present(ui):
+    """The reference GUI panel's remaining knobs (editor.rs:1327-1410) have
+    webview analogs: Significant Digits, Number Color, Cursor Stroke, and the
+    Boom/Reconstruct floating-panel toggle; the cursor-force radius reaches
+    the client as a box fraction for the stroke ring."""
+    web, base = ui
+    page = get(base, "/").decode()
+    for el_id in ("gsig", "gnumcolor", "gcstroke", "b_boom"):
+        assert f'id="{el_id}"' in page, el_id
+    assert "toggleBoom" in page and "fmtSig" in page
+    st = json.loads(get(base, "/stats"))
+    assert st["cursor_frac"] == pytest.approx(0.05)  # particle.rs:138 default
+    post(base, "/params", {"cursor_size": 0.12})
+    assert json.loads(get(base, "/stats"))["cursor_frac"] == pytest.approx(0.12)
