@@ -22,9 +22,11 @@ server around the same ``Editor`` core, with the browser doing the GPU work:
   background/slow/fast colors, max-speed-for-color, min particle px, render
   style (flat / shaded "RTX Ultra" sphere / animated "RTX RGB" ring —
   shader.wgsl:131-201), Over/Add blend with background-subtract
-  (shader.wgsl:124), velocity-extrapolation toggle, fullscreen. All of these
-  are client-side render state, exactly as in the reference ("floating
-  windows" is the one intentional N/A — the browser has no egui windows).
+  (shader.wgsl:124), velocity-extrapolation toggle, significant digits,
+  number color, cursor stroke, fullscreen, and Boom/Reconstruct (the
+  floating-windows toggle, editor.rs:1403-1410 — here the side panel
+  detaches into a draggable floating box over the canvas). All of these are
+  client-side render state, exactly as in the reference.
 
 Run (engine in another terminal):
     python -m particle_simulator_tpu.editor.webview --http 127.0.0.1:8700
