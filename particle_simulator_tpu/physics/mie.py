@@ -204,6 +204,33 @@ def cursor_force(x_u32, y_u32, p: SimParams):
     return jnp.where(inside, fx, zero), jnp.where(inside, fy, zero)
 
 
+def euler_apply(x, y, vx, vy, ty, fx, fy, p: SimParams):
+    """Explicit (forward) Euler: drift with the CURRENT velocity, then kick.
+
+    Not on any production path. Exists to replicate the reference report's
+    integrator stability analysis (doc/project.typ:208-209: explicit Euler
+    explodes within ~100 ps of sim-time at dt = 1 fs, while the symplectic
+    leapfrog below holds >10 ns at dt = 10 fs) — tests/test_physics.py
+    asserts both halves of that claim. Fixed-point conversion is identical
+    to leapfrog_apply; the ONLY difference is which velocity drifts x.
+    """
+    ddx = jnp.round((vx * p.step_dt / p.box_width) * U32_MAX_F)
+    ddy = jnp.round((vy * p.step_dt / p.box_height) * U32_MAX_F)
+    nx = x + ddx.astype(jnp.int32).astype(jnp.uint32)
+    ny = y + ddy.astype(jnp.int32).astype(jnp.uint32)
+
+    nvx = vx + (fx / PARTICLE_MASS) * p.step_dt
+    nvy = vy + (fy / PARTICLE_MASS) * p.step_dt
+
+    live = ty >= jnp.int32(0)
+    return (
+        jnp.where(live, nx, x),
+        jnp.where(live, ny, y),
+        jnp.where(live, nvx, vx),
+        jnp.where(live, nvy, vy),
+    )
+
+
 def leapfrog_apply(x, y, vx, vy, ty, fx, fy, p: SimParams):
     """Kick-drift leapfrog update in u32 fixed point (particle.cuh:105-123):
 

@@ -55,6 +55,25 @@ def allpairs_step(state: ParticleState, p: SimParams) -> ParticleState:
     return ParticleState(nx, ny, nvx, nvy, state.ty)
 
 
+def allpairs_step_euler(state: ParticleState, p: SimParams) -> ParticleState:
+    """allpairs_step with the explicit-Euler update instead of leapfrog —
+    the broken integrator from the reference report's stability analysis
+    (doc/project.typ:208); see physics/mie.py euler_apply. Test-only."""
+    from particle_simulator_tpu.physics.mie import euler_apply
+
+    n = state.x.shape[0]
+    fx, fy = external_forces(state, p)
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    pfx, pfy = pair_force_accum(
+        state.x, state.y, state.ty, state.x, state.y, state.ty, p, self_mask=row == col
+    )
+    nx, ny, nvx, nvy = euler_apply(
+        state.x, state.y, state.vx, state.vy, state.ty, fx + pfx, fy + pfy, p
+    )
+    return ParticleState(nx, ny, nvx, nvy, state.ty)
+
+
 def run_frame(state: ParticleState, p: SimParams, step_fn=allpairs_step) -> ParticleState:
     """Advance one frame = p.steps_per_frame physics steps, fully on device.
 

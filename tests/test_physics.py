@@ -254,3 +254,46 @@ def test_log_domain_force_sigma_zero_gives_zero_not_nan():
     fx, fy = pair_force_accum(xi, yi, tyi, xi, yi, tyi, p, self_mask=self_mask)
     assert np.isfinite(np.asarray(fx)).all() and np.isfinite(np.asarray(fy)).all()
     np.testing.assert_array_equal(np.asarray(fx), 0.0)
+
+
+def test_euler_explodes_where_leapfrog_holds():
+    """The OTHER half of the reference report's integrator analysis
+    (doc/project.typ:208): explicit Euler explodes within ~100 ps of
+    sim-time at dt = 1 fs on a dense lattice, while symplectic leapfrog on
+    the SAME scene / dt / horizon keeps bounded energy (the >10 ns claim at
+    dt = 10 fs is test_leapfrog_energy_stability_10k_steps and the chip
+    soak). Euler injects energy into every oscillation, so the r^-12 core
+    pumps the lattice until it blows."""
+    from particle_simulator_tpu.physics.step import (
+        allpairs_step,
+        allpairs_step_euler,
+    )
+
+    def run(step_fn, frames=100, steps_per_frame=1000):
+        frame = make_scene(nx=6, ny=6, vel=(0.0, 10.0), distance_factor=1.12)
+        parts = frame.particles.copy()
+        meta = frame.metadata.copy()
+        meta["step_dt"] = 1e-15  # the report's Euler operating point
+        meta["steps_per_frame"] = steps_per_frame
+        meta["cursor_pos"] = (-1.0, -1.0)
+        state = state_from_numpy(parts, capacity=len(parts))
+        p = SimParams.from_record(meta)
+        e0 = oracle.total_energy(parts, meta)
+        scale = max(abs(e0), 1e-21)
+        worst = 0.0
+        for _ in range(frames):  # frames x steps_per_frame steps = 100 ps
+            state = run_frame_jit(state, p, step_fn=step_fn)
+            e = oracle.total_energy(state_to_numpy(state), meta)
+            if not np.isfinite(e):
+                return np.inf
+            worst = max(worst, abs(e - e0) / scale)
+        return worst
+
+    euler_drift = run(allpairs_step_euler)
+    assert euler_drift > 1.0, (
+        f"Euler only drifted {euler_drift:.2%} in 100 ps — expected explosion"
+    )
+    leapfrog_drift = run(allpairs_step)
+    assert leapfrog_drift < 0.05, (
+        f"leapfrog drifted {leapfrog_drift:.2%} on the Euler scene"
+    )
