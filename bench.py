@@ -112,6 +112,11 @@ def main(argv=None) -> int:
                          "cap-16 at this density) — the honest interactive "
                          "number, and the case the kernel's occupancy/dead-"
                          "block pass skips exist for")
+    ap.add_argument("--warm-siblings", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="[--user-scene only] after measuring, compile the "
+                         "grid's other lane-chunk signature into the "
+                         "persistent cache (de-fragments warm restarts)")
     ap.add_argument("--lane-chunks", type=int, default=0,
                     help="[--user-scene only] override the engine's "
                          "occupancy-chosen lane-chunk count (0 = auto) — "
@@ -341,6 +346,15 @@ def bench_user_scene(args) -> int:
             }
         )
     )
+    if args.warm_siblings:
+        # AFTER the measurement window: compile the grid's other lane-chunk
+        # signature so the persistent compile cache covers this grid for any
+        # scene occupancy (e.g. a webview-drawn lattice that picks the other
+        # variant) — the r3 warm-restart fragmentation fix
+        n_warm = sim.warm_sibling_lane_chunks()
+        if n_warm:
+            print(f"bench: warmed {n_warm} sibling lane-chunk signature(s)",
+                  file=sys.stderr)
     return 0
 
 

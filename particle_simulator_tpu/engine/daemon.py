@@ -158,7 +158,7 @@ class DistributedFrontend:
 
 
 def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
-              readback_depth: int = 1) -> int:
+              readback_depth: int = 1, ship_thread: bool = True) -> int:
     """The compute_frame loop (cuda_simulator.cu:7-38). Returns frames shipped.
 
     ``readback_depth`` pipelines the device->host readback: each iteration
@@ -169,20 +169,48 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
     compute instead of serializing with it. Depth 0 is the reference's exact
     cadence (ship frame k while k+1 computes, cuda_simulator.cu:7-26); depth
     1 ships one frame later. Scene resets flush the queue first, so frame
-    order on the wire never changes."""
+    order on the wire never changes.
+
+    ``ship_thread`` moves the ship stage (readback wait + wire pack + TCP
+    send) to a dedicated worker so it overlaps the next frames' dispatch —
+    the reference ships while computing (cuda_simulator.cu:7-26); this ships
+    while computing all the way through the TCP send. Single consumer, FIFO
+    queue: the wire byte stream is identical to inline shipping. Forced off
+    under multi-process SPMD, where every process must issue device
+    operations in one global order (a concurrent worker would interleave
+    readback collectives differently per process)."""
+    import queue as queue_mod
+    import threading
     from collections import deque
 
     from particle_simulator_tpu.utils.profiling import StepMeter
 
+    import jax
+
+    if jax.process_count() > 1:
+        ship_thread = False
+
     meter = StepMeter()
-    queue: deque = deque()  # states awaiting shipment, oldest first
-    shipped = 0
+    pending: deque = deque()  # states awaiting shipment, oldest first
+    shipped = 0  # frames actually written to the wire (worker-owned)
     next_report = time.monotonic() + 30.0
 
-    def ship(state=None, meta=None) -> None:
+    import os
+
+    trace = os.environ.get("PS_SHIP_TRACE") == "1"
+    stage_s = {"readback": 0.0, "send": 0.0}  # cumulative, worker-owned
+
+    def ship(ticket, meta) -> None:
         nonlocal shipped, next_report
-        frame = sim.read_frame(state, meta=meta)
+        if max_frames is not None and shipped >= max_frames:
+            return  # budget spent on the wire; drop the queued extra
+        t0 = time.perf_counter()
+        frame = sim.read_frame(ticket, meta=meta)
+        t1 = time.perf_counter()
         frontend.write(frame)
+        if trace:
+            stage_s["readback"] += t1 - t0
+            stage_s["send"] += time.perf_counter() - t1
         shipped += 1
         meter.tick(frame.metadata.steps_per_frame, frame.particle_count)
         # every 64 frames, but at least every 30 s — big scenes ship well
@@ -194,33 +222,70 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
                 "bucket-jnp-interim": " [interim jnp kernel; pallas compiling]",
                 "bucket-jnp-pinned": " [jnp kernel; pallas compile failed]",
             }.get(sim.active_kernel, "")
+            if trace:
+                suffix += (f" [ship: readback {stage_s['readback']:.2f}s"
+                           f" send {stage_s['send']:.2f}s / {shipped} frames]")
             print(f"engine: {meter.report()}{suffix}", file=sys.stderr)
             next_report = time.monotonic() + 30.0
 
-    def enqueue(ticket, meta) -> None:
-        # stamp the ticket with the metadata snapshot taken when its frame
-        # was DISPATCHED (dispatched_meta below), so a live edit processed
-        # after the dispatch never stamps the older state with the new
-        # parameters — reading sim.meta_record here would be one edit late
-        queue.append((ticket, meta))
+    # -- ship worker: single consumer keeps wire order; bounded queue keeps
+    #    backpressure (each pending ticket pins device + host buffers)
+    ship_q: queue_mod.Queue | None = None
+    worker = None
+    if ship_thread:
+        ship_q = queue_mod.Queue(maxsize=max(2, readback_depth + 1))
+
+        def _ship_loop() -> None:
+            while True:
+                item = ship_q.get()
+                if item is None:
+                    return
+                try:
+                    ship(*item)
+                except Exception as e:  # surface, then stop shipping
+                    print(f"engine: ship worker failed: {e!r}", file=sys.stderr)
+                    frontend.is_connected = False
+
+        worker = threading.Thread(target=_ship_loop, daemon=True, name="ship")
+        worker.start()
+
+    def commit_ship(ticket, meta) -> None:
+        """Hand one frame to the wire (via the worker when enabled)."""
+        if ship_q is not None:
+            ship_q.put((ticket, meta))
+        else:
+            ship(ticket, meta)
+
+    def ship_now() -> None:
+        """Ship the CURRENT state (prime / scene-reset echo): capture the
+        readback ticket and metadata snapshot synchronously so a deferred
+        worker send still serializes exactly this state. hint only vouches
+        jit outputs (the tunnel-wedge rule, engine/state.py NOTE)."""
+        commit_ship(sim.start_readback(hint=sim.state_is_dispatched),
+                    sim.meta_record.copy())
 
     def can_ship() -> bool:
+        # gate on the WIRE count, not the commit count: with a ship worker
+        # the main loop runs ahead of the wire by the queue depth, and
+        # spending the budget at commit time would end the loop (and stop
+        # polling the editor) frames before the stream actually finishes —
+        # the worker's own shipped-check keeps the wire at exactly the budget
         return max_frames is None or shipped < max_frames
 
     def flush() -> None:
         # honor max_frames here too: a scene reset with readback_depth > 0
         # must not overshoot the frame budget via the queued backlog
-        while queue and can_ship():
-            ship(*queue.popleft())
+        while pending and can_ship():
+            commit_ship(*pending.popleft())
 
     # prime: echo the prepared first scene and dispatch its first frame
-    ship()
+    ship_now()
     sim.frame_async()
     # metadata snapshot at each dispatch — what the in-flight frame was
     # actually computed under (update_metadata only affects the NEXT dispatch)
     dispatched_meta = sim.meta_record.copy()
 
-    while frontend.is_connected and (max_frames is None or shipped < max_frames):
+    while frontend.is_connected and can_ship():
         # Start the readback of the frame just dispatched BEFORE enqueueing
         # the next frame's compute: the device-side compaction
         # (sim.start_readback, ops/readback.py) then lands right behind
@@ -245,23 +310,26 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
                 # writing after frame_async would ship the post-step state and
                 # then re-send it next iteration via prev_state.
                 if can_ship():
-                    ship()
+                    ship_now()
                 sim.frame_async()
                 dispatched_meta = sim.meta_record.copy()
                 continue
 
-        enqueue(prev_ticket, prev_meta)
-        if len(queue) > readback_depth:
-            ship(*queue.popleft())
-    while queue and frontend.is_connected and (max_frames is None or shipped < max_frames):
-        ship(*queue.popleft())
+        pending.append((prev_ticket, prev_meta))
+        if len(pending) > readback_depth:
+            commit_ship(*pending.popleft())
+    while pending and frontend.is_connected and can_ship():
+        commit_ship(*pending.popleft())
+    if ship_q is not None:
+        ship_q.put(None)
+        worker.join()
     return shipped
 
 
 def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float = 10.0,
           n_devices: int | str | None = None, record: str | None = None,
           native_io: bool = False, readback_depth: int = 1,
-          progressive_compile: bool = False) -> int:
+          progressive_compile: bool = False, ship_thread: bool = True) -> int:
     from particle_simulator_tpu.physics.bucket import REFERENCE_GRID
 
     import jax
@@ -326,8 +394,27 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
         print("engine: editor disconnected before first scene", file=sys.stderr)
         return 0
 
+    # De-fragment future warm restarts: once the loaded scene's own kernel is
+    # live, compile the grid's OTHER lane-chunk signature in the background so
+    # the persistent compile cache covers the grid per-grid, not per-occupancy
+    # (r3: a webview lattice paid 378 s on a machine bench.py had just
+    # warmed). Gated on progressive mode so measurement runs
+    # (--no-progressive-compile) keep the tunnel to themselves.
+    if progressive_compile and not multiproc and mesh is None:
+        import threading
+
+        def _warm_siblings() -> None:
+            while sim.active_kernel is None and frontend.is_connected:
+                time.sleep(1.0)
+            n = sim.warm_sibling_lane_chunks()
+            if n:
+                print(f"engine: warmed {n} sibling lane-chunk signature(s)",
+                      file=sys.stderr)
+
+        threading.Thread(target=_warm_siblings, daemon=True).start()
+
     shipped = main_loop(frontend, sim, max_frames=max_frames,
-                        readback_depth=readback_depth)
+                        readback_depth=readback_depth, ship_thread=ship_thread)
     print(f"engine: disconnected after {shipped} frames", file=sys.stderr)
     return shipped
 
@@ -376,6 +463,12 @@ def main(argv=None) -> int:
                     help="frames of device->host readback pipelining (hides "
                          "link latency to a remote device; 0 = the "
                          "reference's exact ship-while-computing cadence)")
+    ap.add_argument("--ship-thread", default=True,
+                    action=argparse.BooleanOptionalAction,
+                    help="ship frames (readback wait + pack + TCP send) from "
+                         "a dedicated worker thread so shipping overlaps the "
+                         "next frames' compute dispatch (identical wire "
+                         "stream; auto-disabled under multi-process SPMD)")
     ap.add_argument("--native-io", action="store_true",
                     help="use the C++ particle_io transport (native/) instead "
                          "of the Python codec for the editor connection")
@@ -412,14 +505,16 @@ def main(argv=None) -> int:
                 break
             time.sleep(0.001)
         return 0 if main_loop(frontend, sim, args.max_frames,
-                              readback_depth=args.readback_pipeline) else 1
+                              readback_depth=args.readback_pipeline,
+                              ship_thread=args.ship_thread) else 1
 
     host, port = args.addr.rsplit(":", 1)
     devices = args.devices if args.devices in (None, "all") else int(args.devices)
     serve((host, int(port)), max_frames=args.max_frames, retry_s=args.retry_s,
           n_devices=devices, record=args.record, native_io=args.native_io,
           readback_depth=args.readback_pipeline,
-          progressive_compile=args.progressive_compile)
+          progressive_compile=args.progressive_compile,
+          ship_thread=args.ship_thread)
     return 0
 
 

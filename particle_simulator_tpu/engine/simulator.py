@@ -205,6 +205,22 @@ def _run_bucket_pallas(
     )
 
 
+def _lane_chunk_candidates(grid: GridConfig):
+    """Lane-chunk splits that are VALID for this grid shape (largest first;
+    independent of scene occupancy). A scene then lands on the first one
+    whose occupancy leaves a skip margin, or on 1 — so the signatures a grid
+    can realistically hit are {candidates[0], 1} (a failing occupancy test
+    at the finest split fails a fortiori at coarser ones)."""
+    L = grid.bx * grid.cap
+    out = []
+    for c in (8, 4, 2):
+        w = L // c
+        if grid.bx % c or w % 128 or w < 1024:
+            continue
+        out.append(c)
+    return out
+
+
 def _lane_chunks_for(occ: np.ndarray, grid: GridConfig) -> int:
     """Pick the step kernel's lane-chunk count from the loaded scene's
     spatial occupancy (ops/bucket_pallas.py ``lane_chunks``): the largest
@@ -213,11 +229,7 @@ def _lane_chunks_for(occ: np.ndarray, grid: GridConfig) -> int:
     fill ~25% of the area) skip the pair math of empty column chunks;
     box-spanning scenes (the dense bench) stay on the unchunked kernel —
     chunking costs an extra grid copy per step and only pays when tiles die."""
-    L = grid.bx * grid.cap
-    for c in (8, 4, 2):
-        w = L // c
-        if grid.bx % c or w % 128 or w < 1024:
-            continue
+    for c in _lane_chunk_candidates(grid):
         # 8-row tiles approximate the kernel's row blocks; a tile is live if
         # any bucket in its (8 rows x bx/c cols) range is occupied
         by8 = (grid.by + 7) // 8
@@ -465,9 +477,18 @@ class Simulator:
         # keep active layout/device fields consistent with what's actually running
         new["data_structure"] = int(self.data_structure)
         new["device"] = int(self.meta_record["device"])
-        new["gpu_threads_per_block_log2"] = int(
-            self.meta_record["gpu_threads_per_block_log2"]
-        )
+        if not self.progressive_compile:
+            # launch width is a STATIC kernel arg here: without the
+            # progressive machinery a live edit would stall the loop on a
+            # fresh Mosaic compile, so it defers to the next re-layout
+            # (the zero-recompile invariant bench/test runs rely on)
+            new["gpu_threads_per_block_log2"] = int(
+                self.meta_record["gpu_threads_per_block_log2"]
+            )
+        # with progressive compile ON the edit applies LIVE, like the
+        # reference's per-dispatch launch config (kernel_bucket.cuh:118-121):
+        # the new block_rows is a cold signature — frames flow through the
+        # interim jnp runner while it compiles, then switch (_pallas_warm)
         self.meta_record = new
         self.params = SimParams.from_record(self.meta_record)
 
@@ -502,13 +523,17 @@ class Simulator:
                 self.active_kernel = "allpairs-jnp"
         elif self.mesh is not None:
             # multi-chip spatial domain decomposition (parallel/domain.py)
-            key = (self.grid, self.mesh)
+            kernel = "pallas" if jax.default_backend() == "tpu" else "jnp"
+            # the pallas local step honors the scene's lane-chunk column-skip
+            # choice (falls back per-mesh when the local width can't chunk)
+            chunks = self._lane_chunks if kernel == "pallas" else 1
+            key = (self.grid, self.mesh, kernel, chunks)
             fn = self._sharded_fns.get(key)
             if fn is None:
                 from particle_simulator_tpu.parallel.domain import make_sharded_frame_fn
 
-                kernel = "pallas" if jax.default_backend() == "tpu" else "jnp"
-                fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False, kernel=kernel)
+                fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False,
+                                           kernel=kernel, lane_chunks=chunks)
                 self._sharded_fns[key] = fn
             self.state = fn(self.state, self.params)
             self.active_kernel = "sharded-pallas" if jax.default_backend() == "tpu" else "sharded-jnp"
@@ -666,6 +691,37 @@ class Simulator:
         except Exception:  # pragma: no cover - warming must never hurt
             pass
 
+    def warm_sibling_lane_chunks(self) -> int:
+        """Compile the OTHER lane-chunk signature(s) the current grid can hit.
+
+        A grid's realistic signatures are {largest valid split, 1}
+        (_lane_chunk_candidates): which one a scene lands on depends on its
+        occupancy, so 'warm' compile caches used to be per-signature, not
+        per-grid — a webview-drawn lattice could pay a fresh multi-minute
+        Mosaic compile on a machine bench.py had just warmed (r3: 378 s of
+        first-frames, BASELINE.md config 5). Warming the sibling folds the
+        cache back to per-grid. Synchronous; call from a background thread
+        (the _pallas_status claims make concurrent callers safe) or after a
+        measurement window. Returns the number of signatures compiled."""
+        if self.accel is None or self.meta_record is None:
+            return 0
+        if self.data_structure != DataStructure.MATRIX_BUCKETS or self.mesh is not None:
+            return 0
+        cands = _lane_chunk_candidates(self.grid)
+        targets = {cands[0] if cands else 1, 1} - {self._lane_chunks}
+        k = int(self.meta_record["gpu_threads_per_block_log2"])
+        block_rows = max(1, 1 << max(0, k - 4))
+        compiled = 0
+        for c in sorted(targets):
+            key = (self.grid, block_rows, c)
+            with self._pallas_claim_lock:
+                if key in self._pallas_status:
+                    continue  # compiled / compiling elsewhere
+                self._pallas_status[key] = "compiling"
+            self._compile_pallas(key, self.params)
+            compiled += 1
+        return compiled
+
     # -- readback ----------------------------------------------------------------
     @staticmethod
     def _state_numpy(state: ParticleState) -> np.ndarray:
@@ -744,7 +800,8 @@ class Simulator:
         rec = self.meta_record if meta is None else meta
         if state.packed is None:
             parts = self._state_numpy(state.state)
-            return Frame.from_particles(rec, parts[parts["ty"] >= 0])
+            # the boolean-mask gather is a fresh array — hand it over
+            return Frame.from_particles(rec, parts[parts["ty"] >= 0], owned=True)
 
         from particle_simulator_tpu.ops.readback import (
             dense_readback,
@@ -771,7 +828,9 @@ class Simulator:
             self._readback_low_streak = 0
         fields = jax.device_get(tuple(packed))
         live = dense_to_particles(total, ParticleState(*fields))
-        return Frame.from_particles(rec, live)
+        # dense_to_particles builds a fresh contiguous array — hand it over
+        # instead of paying a second ~60 ms copy at 1M
+        return Frame.from_particles(rec, live, owned=True)
 
     @property
     def live_count(self) -> int:

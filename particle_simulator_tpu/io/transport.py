@@ -60,6 +60,30 @@ def _read_exact(stream, n: int) -> Optional[bytes]:
     return b"".join(chunks)
 
 
+def _read_exact_into(stream, buf: memoryview) -> bool:
+    """Fill ``buf`` exactly; False on clean EOF/closed connection. Uses
+    recv_into on sockets so a 1M-particle frame body (20 MB) lands in one
+    preallocated buffer with zero join/concat copies — the ingest half of
+    the config-5 ship path."""
+    if not hasattr(stream, "recv_into"):
+        data = _read_exact(stream, len(buf))
+        if data is None:
+            return False
+        buf[:] = data
+        return True
+    got = 0
+    n = len(buf)
+    while got < n:
+        try:
+            r = stream.recv_into(buf[got:])
+        except (OSError, ValueError):
+            return False
+        if not r:
+            return False
+        got += r
+    return True
+
+
 class Reader:
     """Background-thread frame stream reader with a bounded queue."""
 
@@ -88,10 +112,15 @@ class Reader:
                     print("Read frame with invalid signature", file=sys.stderr)
                     continue
                 body_size = packet_size(int(hdr["particle_count"])) - HEADER_SIZE
-                body = _read_exact(self._stream, body_size) if body_size else b""
-                if body is None:
+                # one exact-size buffer per frame, filled in place and handed
+                # to the Frame without re-copy (from_buffer takes ownership)
+                packet = bytearray(HEADER_SIZE + body_size)
+                packet[:HEADER_SIZE] = raw_header
+                if body_size and not _read_exact_into(
+                    self._stream, memoryview(packet)[HEADER_SIZE:]
+                ):
                     break
-                self._queue.put(Frame.from_bytes(raw_header + body))
+                self._queue.put(Frame.from_buffer(packet))
         finally:
             self._alive = False
 
@@ -152,14 +181,22 @@ class Writer:
 
     def write(self, frame: Frame) -> bool:
         """Write one frame. Returns False (and warns) on failure, like the
-        reference's ``writer_write`` (particle_io/c_api/src/writer.rs:41-59)."""
-        data = frame.bytes
+        reference's ``writer_write`` (particle_io/c_api/src/writer.rs:41-59).
+
+        Sends header and particle body as two writes under one lock — the
+        body goes out as a zero-copy memoryview of the particle array
+        instead of materializing a ~20 MB ``frame.bytes`` concat at 1M."""
+        header, body = frame.wire_views()
         try:
             with self._lock:
                 if hasattr(self._stream, "sendall"):
-                    self._stream.sendall(data)
+                    self._stream.sendall(header)
+                    if body.nbytes:
+                        self._stream.sendall(body)
                 else:
-                    self._stream.write(data)
+                    self._stream.write(header)
+                    if body.nbytes:
+                        self._stream.write(body)
                     self._stream.flush()
             return True
         except (OSError, ValueError) as e:
@@ -202,6 +239,10 @@ class TcpServer:
         try:
             sock, _peer = self._listener.accept()
         except BlockingIOError:
+            return None
+        except OSError:
+            # listener closed under us (editor teardown races the tick
+            # thread's accept poll) — report "no connection", never raise
             return None
         sock.setblocking(True)
         sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)

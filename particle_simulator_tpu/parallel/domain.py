@@ -177,30 +177,64 @@ def _ship_pair(a, axis: int, axis_name: str, n: int, is_ty: bool,
 _IS_TY = (False, False, False, False, True)  # ParticleState field order
 
 
-def pad_x_state(state: ParticleState, nx: int) -> ParticleState:
-    """(ly, lx, cap) -> (ly, lx+2, cap): concat the x-neighbor halo columns.
+def pad_x_state(state: ParticleState, nx: int, xpad: int = 1) -> ParticleState:
+    """(ly, lx, cap) -> (ly, lx+2*xpad, cap): concat the x-neighbor halo
+    columns, with ``xpad - 1`` TOMBSTONE margin columns outside each halo.
     The one whole-state copy of the padded-layout scheme — paid when a run
-    of steps begins (after a move), not per step."""
+    of steps begins (after a move), not per step.
+
+    xpad > 1 exists purely to make the padded lane count divisible into the
+    equal 128-multiple chunks ``bucket_step_pallas``'s lane-chunk column
+    skip requires (r3 forfeited that skip on the sharded path — VERDICT
+    item 3): the extra columns are permanently dead (ty = -1), so the kernel
+    rejects them as pair candidates and their chunk-liveness flags never
+    fire. The exchanged halo stays ONE bucket wide either way (the move
+    cadence bounds drift to one bucket)."""
     out = []
     for a, is_ty in zip(state, _IS_TY):
         lo, hi = _ship_pair(a, 1, AXIS_X, nx, is_ty)
-        out.append(jnp.concatenate([lo, a, hi], axis=1))
+        cols = [lo, a, hi]
+        if xpad > 1:
+            m = jnp.full(
+                (a.shape[0], xpad - 1) + a.shape[2:],
+                -1 if is_ty else 0,
+                a.dtype,
+            )
+            cols = [m, *cols, m]
+        out.append(jnp.concatenate(cols, axis=1))
     return ParticleState(*out)
 
 
-def refresh_x_cols(sp: ParticleState, nx: int) -> ParticleState:
-    """Refresh the halo columns of an x-padded (ly, lx+2, cap) grid in place:
-    ship the two INTERIOR edge columns (1 and lx) to the x-neighbors and
-    write what arrives into columns 0 and lx+1. Two one-column copies per
-    step instead of the whole-state concat + interior re-slice."""
+def refresh_x_cols(sp: ParticleState, nx: int, xpad: int = 1) -> ParticleState:
+    """Refresh the halo columns of an x-padded (ly, lx+2*xpad, cap) grid in
+    place: ship the two INTERIOR edge columns (xpad and lx+xpad-1) to the
+    x-neighbors and write what arrives into the halo columns (xpad-1 and
+    lx+xpad). Two one-column copies per step instead of the whole-state
+    concat + interior re-slice. Tombstone margin columns (xpad > 1) are
+    never touched — they stay dead."""
     out = []
     for a, is_ty in zip(sp, _IS_TY):
         lo_halo, hi_halo = _ship_pair(a, 1, AXIS_X, nx, is_ty,
-                                      lo_idx=1, hi_idx=a.shape[1] - 2)
-        a = jax.lax.dynamic_update_slice_in_dim(a, lo_halo, 0, axis=1)
-        a = jax.lax.dynamic_update_slice_in_dim(a, hi_halo, a.shape[1] - 1, axis=1)
+                                      lo_idx=xpad, hi_idx=a.shape[1] - 1 - xpad)
+        a = jax.lax.dynamic_update_slice_in_dim(a, lo_halo, xpad - 1, axis=1)
+        a = jax.lax.dynamic_update_slice_in_dim(a, hi_halo, a.shape[1] - xpad, axis=1)
         out.append(a)
     return ParticleState(*out)
+
+
+def x_pad_for_chunks(lx: int, cap: int, lane_chunks: int) -> int | None:
+    """Smallest per-side x-pad making a (ly, lx + 2*xpad, cap) grid valid for
+    ``bucket_step_pallas(lane_chunks=C)``: padded width divisible by C with a
+    128-multiple lane-chunk width. None when no xpad within the waste budget
+    (2*xpad <= lx/4) works — the caller falls back to a smaller C or 1."""
+    C = int(lane_chunks)
+    if C == 1:
+        return 1
+    for xpad in range(1, max(2, lx // 8) + 1):
+        w = lx + 2 * xpad
+        if w % C == 0 and (w * cap // C) % 128 == 0:
+            return xpad
+    return None
 
 
 def ship_edge_rows(sp: ParticleState, ny: int) -> tuple[ParticleState, ParticleState]:
@@ -246,6 +280,7 @@ def _local_frame(
     ny: int,
     nx: int,
     kernel: str = "jnp",
+    lane_chunks: int = 1,
 ) -> ParticleState:
     """Per-device body: steps_per_frame physics steps with halo exchange before
     each step and a migration/rebucket pass on the reference's cadence.
@@ -259,11 +294,13 @@ def _local_frame(
     sizes) overwritten by the refresh — the price of the VMEM-resident
     force pass on every chip.
 
-    The single-chip runner's ``lane_chunks`` column skip is NOT plumbed here:
-    the x-halo columns join the lane axis, so lanes span lx+2 buckets — never
-    divisible into the equal 128-multiple chunks bucket_step_pallas requires.
-    Sparse multi-chip scenes still get the row-block, occupancy-residue, and
-    move-pass dead-neighborhood skips.
+    ``lane_chunks`` = C > 1 brings the single-chip runner's lane-chunk column
+    skip (+47% on the 1M editor-drawn lattice, BASELINE.md) to the sharded
+    path: the x-pad is widened with tombstone margin columns until the padded
+    lane count divides into equal 128-multiple chunks (x_pad_for_chunks), and
+    C is handed straight to ``bucket_step_pallas`` — whose chunk machinery is
+    bit-identical to the unchunked kernel. Infeasible C values fall back
+    (8 -> 4 -> 2 -> 1) per this mesh's local width.
     """
     ly = state.x.shape[0]
     lx = state.x.shape[1]
@@ -296,13 +333,23 @@ def _local_frame(
             bucket_step_pallas,
         )
 
+        # resolve the lane-chunk split against this mesh's LOCAL width:
+        # fall back to coarser splits (then 1) when no affordable x-pad
+        # makes the padded lane count chunk-divisible
+        C, xpad = 1, 1
+        for cand in (c for c in (lane_chunks, 8, 4, 2) if c <= lane_chunks):
+            pad = x_pad_for_chunks(lx, cfg.cap, cand)
+            if pad is not None:
+                C, xpad = cand, pad
+                break
+
         def step(sp):
             top, bottom = ship_edge_rows(sp, ny)
             out = bucket_step_pallas(sp, p, interpret=interpret,
-                                     edge_rows=(top, bottom))
+                                     edge_rows=(top, bottom), lane_chunks=C)
             # the kernel's outputs for the halo columns are stale recompute;
             # overwrite them with the x-neighbors' fresh interior edges
-            return refresh_x_cols(out, nx)
+            return refresh_x_cols(out, nx, xpad=xpad)
 
         # Migration/rebucket: the direct shard-aware pass (elementwise ranks,
         # no argsort over the 9*CAP neighborhood axis — ARCHITECTURE.md
@@ -313,7 +360,12 @@ def _local_frame(
             # (ly+2, lx+2) halo grid from the padded state's own CURRENT
             # x-halo columns plus freshly shipped edge rows — bit-identical
             # to exchange_halo on the interior (two-phase corners ride the
-            # x-padded rows), one y-concat instead of x-concat + y-concat
+            # x-padded rows), one y-concat instead of x-concat + y-concat.
+            # Tombstone margin columns (xpad > 1) are sliced off first: the
+            # move kernel's halo layout is exactly one column per side.
+            if xpad > 1:
+                sp = ParticleState(*(a[:, xpad - 1 : a.shape[1] - (xpad - 1)]
+                                     for a in sp))
             top, bottom = ship_edge_rows(sp, ny)
             halo = ParticleState(*(
                 jnp.concatenate([t, a, b], axis=0)
@@ -323,13 +375,13 @@ def _local_frame(
                 halo, cfg.bx_log2, cfg.by_log2,
                 row_offset, col_offset, interpret=interpret,
             )
-            return pad_x_state(moved, nx)
+            return pad_x_state(moved, nx, xpad=xpad)
 
         padded = chunked_frame_schedule(
-            pad_x_state(state, nx), p.steps_per_frame, cfg.move_every,
+            pad_x_state(state, nx, xpad=xpad), p.steps_per_frame, cfg.move_every,
             step, move, unroll=unroll,
         )
-        return ParticleState(*(a[:, 1:-1] for a in padded))
+        return ParticleState(*(a[:, xpad:-xpad] for a in padded))
 
     def move(s):
         return bucket_move_direct_halo(
@@ -345,12 +397,15 @@ def _local_frame(
     )
 
 
-def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True, kernel: str = "jnp"):
+def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True,
+                          kernel: str = "jnp", lane_chunks: int = 1):
     """Build the jitted multi-chip frame runner for a grid config + mesh.
 
     Returns ``fn(state, p) -> state`` where state is (BY, BX, CAP) sharded
     ``P("dy", "dx", None)`` and p is replicated. ``kernel`` selects the local
-    step implementation: "jnp" (portable) or "pallas" (TPU VMEM kernel).
+    step implementation: "jnp" (portable) or "pallas" (TPU VMEM kernel);
+    ``lane_chunks`` > 1 requests the pallas kernel's lane-chunk column skip
+    (bit-identical; falls back per-mesh if the local width can't chunk).
     """
     ny, nx = mesh.devices.shape
     if cfg.bx % nx:
@@ -361,7 +416,8 @@ def make_sharded_frame_fn(cfg: GridConfig, mesh: Mesh, donate: bool = True, kern
     # global row index >= cfg.by, are never force-visible (they are
     # tombstoned, and the step kernel rejects tombstoned candidates) and
     # never targeted by the move (targets come from coordinate bits < by).
-    body = functools.partial(_local_frame, cfg=cfg, ny=ny, nx=nx, kernel=kernel)
+    body = functools.partial(_local_frame, cfg=cfg, ny=ny, nx=nx, kernel=kernel,
+                             lane_chunks=lane_chunks)
     sharded = shard_map(
         body,
         mesh=mesh,

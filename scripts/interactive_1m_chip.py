@@ -177,6 +177,11 @@ def main(argv=None) -> int:
             "timeline_ram_mb": round(s1["timeline_ram"] / 1e6, 1),
             "first_frames_wait_s": round(ttff, 1),
             "device": s1["device"],
+            # JS-half verdict archived from the hardware run: the in-page
+            # self-test POSTs to /selftest when a browser attaches during the
+            # window; headless runs report null (ARCHITECTURE.md section 7's
+            # split self-test strategy, closed per VERDICT r3 item 8)
+            "selftest": s1.get("selftest"),
             # which side bounds the assembled loop: the engine feed (compute
             # + shipping = engine_fps) or the /frame.bin fetch path; the two
             # rates above give the margin

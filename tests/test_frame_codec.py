@@ -206,3 +206,41 @@ def test_presets_persist_roundtrip(tmp_path):
     assert np.array_equal(back[0].particles, frame.particles)
     assert back[0].to_frame().bytes == presets[0].to_frame().bytes
     assert len(back[1].particles) == 0
+
+
+def test_from_buffer_zero_copy_and_wire_views():
+    """from_buffer + wire_views are the ship-path fast constructors/serializers:
+    byte-identical to from_bytes/.bytes, with the particle body a zero-copy
+    view (no 20 MB copies at 1M)."""
+    import numpy as np
+    from particle_simulator_tpu.io.frame import Frame, PARTICLE_DTYPE
+
+    frame = Frame.new()
+    parts = np.zeros(7, dtype=PARTICLE_DTYPE)
+    parts["x"] = np.arange(7, dtype=np.uint32) * 1000
+    parts["y"] = np.arange(7, dtype=np.uint32)[::-1] * 999
+    parts["vx"] = np.linspace(-3, 3, 7)
+    parts["ty"] = [0, 1, -1, 0, 1, -1, 0]
+    frame.extend(parts)
+    wire = frame.bytes
+
+    # wire_views reserializes identically, without the full concat
+    header, body = frame.wire_views()
+    assert header + body.tobytes() == wire
+
+    # from_buffer parses identically to from_bytes and aliases the buffer
+    buf = bytearray(wire)
+    back = Frame.from_buffer(buf)
+    assert back.bytes == wire
+    assert np.array_equal(back.particles, frame.particles)
+    # mutating the frame's particles writes through to the owned buffer
+    back.particles["x"][0] = 0xDEADBEEF
+    assert Frame.from_bytes(bytes(buf)).particles["x"][0] == 0xDEADBEEF
+
+    # validation parity with from_bytes
+    import pytest
+
+    with pytest.raises(ValueError):
+        Frame.from_buffer(bytearray(wire[:-1]))
+    with pytest.raises(ValueError):
+        Frame.from_buffer(bytearray(10))
