@@ -157,6 +157,10 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
     onchange="param('box_height', this.value * 1e-9)"></label>
   <label>gpu threads/block (log2) <input type="range" id="pgtb" min="0" max="10" step="1" value="7"
     oninput="param('gpu_threads_per_block_log2', parseInt(this.value))"></label>
+  <!-- per-species Mie sliders: the reference panel shows BOTH species
+       (editor.rs:828-1411); species 0 drives the physics, species 1 rides
+       the metadata (kernel_bucket.cuh:52, doc/project.typ:610) -->
+  <div style="font-size:11px;color:#8f93a8">species 0 (Nitrogen defaults)</div>
   <label>sigma (A) <input type="range" min="1" max="10" step="0.05" value="3.609"
     oninput="param('sigma0', this.value * 1e-10)"></label>
   <label>epsilon (K·kB) <input type="range" min="10" max="500" step="1" value="106"
@@ -165,6 +169,15 @@ kbd { background: #26263a; padding: 0 4px; border-radius: 3px; }
     oninput="param('n0', parseFloat(this.value))"></label>
   <label>m (attractive) <input type="range" min="3" max="7" step="0.1" value="6"
     oninput="param('m0', parseFloat(this.value))"></label>
+  <div style="font-size:11px;color:#8f93a8">species 1 (Argon defaults)</div>
+  <label>sigma (A) <input type="range" min="1" max="10" step="0.05" value="3.404"
+    oninput="param('sigma1', this.value * 1e-10)"></label>
+  <label>epsilon (K·kB) <input type="range" min="10" max="500" step="1" value="118"
+    oninput="param('epsilon1', this.value * 1.380649e-23)"></label>
+  <label>n (repulsive) <input type="range" min="7" max="20" step="0.1" value="12.085"
+    oninput="param('n1', parseFloat(this.value))"></label>
+  <label>m (attractive) <input type="range" min="3" max="7" step="0.1" value="6"
+    oninput="param('m1', parseFloat(this.value))"></label>
   <label>data structure
     <select onchange="param('data_structure', parseInt(this.value))">
       <option value="1" selected>Matrix Buckets</option>
@@ -227,7 +240,12 @@ const glc = document.getElementById('glcanvas');
 const overlay = document.getElementById('overlay');
 const octx = overlay.getContext('2d');
 const viewbox = document.getElementById('viewbox');
-const gl = glc.getContext('webgl', {antialias: false, preserveDrawingBuffer: true});
+// webgl2 first: its ES 3.0 signed-normalized rule max(v/32767, -1) is what
+// dequantParticle models; the webgl1 fallback (ES 2.0: (2c+1)/65535) differs
+// by <= 1.5e-5 * vscale for small velocities — documented divergence only on
+// browsers without webgl2
+const gl = glc.getContext('webgl2', {antialias: false, preserveDrawingBuffer: true})
+        || glc.getContext('webgl', {antialias: false, preserveDrawingBuffer: true});
 
 function post(url, body) { return fetch(url, {method: 'POST', body: JSON.stringify(body || {})}); }
 function ctl(action, extra) { return post('/control', Object.assign({action}, extra)); }
@@ -456,14 +474,22 @@ function groupUnderscores(s) {  // numfmt.format_with_underscores
   const frac = di < 0 ? '' : s.slice(di);
   return sign + ip.replace(/\\B(?=(\\d{3})+(?!\\d))/g, '_') + frac;
 }
-function fmtNum(x, unit, fmt) {
+function fmtNum(x, unit, fmt, sigArg) {
   unit = unit || '';
   if (typeof x !== 'number' || !isFinite(x)) return String(x) + unit;
   fmt = fmt || document.getElementById('gnumfmt').value;
-  const sig = fmtSig();
+  // explicit sig wins: runSelfTest pins 4 (the vectors' significant) so a
+  // browser-restored #gsig value can never fail the self-test contract
+  const sig = (sigArg == null) ? fmtSig() : sigArg;
   const v = x === 0 ? 0 : Number(x.toPrecision(sig));  // numfmt._round_sig
   if (fmt === 'dashed') {
-    const body = v ? trimNum(v.toFixed(sig)) : '0';
+    // toFixed returns exponential notation for |v| >= 1e21; Python prints
+    // full digits there — use a non-grouping locale render (integral by
+    // construction at that magnitude) to match
+    const big = Math.abs(v) >= 1e21;
+    const body = !v ? '0' : trimNum(big
+      ? v.toLocaleString('en-US', {useGrouping: false, maximumFractionDigits: 0})
+      : v.toFixed(sig));
     return groupUnderscores(body) + unit;
   }
   if (fmt === 'scientific') {
@@ -677,7 +703,7 @@ function runSelfTest() {
   const expect = (ok, msg) => { checks++; if (!ok) fails.push(msg); };
   try {
     for (const [x, unit, fmt, want] of SELFTEST.fmt) {
-      const got = fmtNum(x, unit, fmt);
+      const got = fmtNum(x, unit, fmt, 4);
       expect(got === want, 'fmtNum(' + x + ',' + fmt + '): "' + got + '" != "' + want + '"');
     }
     const raw = atob(SELFTEST.pbin.b64);
@@ -747,9 +773,13 @@ def selftest_vectors() -> dict:
                    (1.5e9, "B"), (-0.00042, "s"), (9.87e-16, "s"),
                    (123.456, ""), (1048576.0, "B")],
         "scientific": [(0.0, "s"), (1.0, "s"), (6.022e23, ""), (-2.5e-7, "s"),
-                       (0.001, "s"), (42.0, "")],
+                       (0.001, "s"), (42.0, ""),
+                       # decade boundaries: floor(log10) lands on an edge
+                       (1e-7, "s"), (999.95, ""), (9.9999e2, ""), (1e21, "")],
         "dashed": [(0.0, ""), (1234567.89, ""), (-1234.56, ""), (0.05, "s"),
-                   (3.14159, ""), (2500.0, "")],
+                   (3.14159, ""), (2500.0, ""),
+                   # |v| >= 1e21: JS toFixed would go exponential (handled)
+                   (1e21, ""), (-1e21, "")],
     }.items():
         f = NumFormatter(NumFormat(fmt), significant=4)
         for x, unit in vals:
@@ -866,8 +896,9 @@ class WebEditor:
             )
         return _png_bytes(img)
 
-    def frame_bin(self) -> bytes:
-        """Compact binary particle payload for the browser's WebGL renderer.
+    def frame_bin(self) -> tuple:
+        """Compact binary particle payload for the browser's WebGL renderer,
+        as (header bytes, body bytes) — concatenate for the wire form.
 
         Layout (little-endian):
           header (40 B): u32 magic "PBIN" | u32 count | f32 frame_time
@@ -881,8 +912,8 @@ class WebEditor:
         frame, exact, play_time, play_speed, flags = self._display_snapshot()
         if frame is None:
             self._bin_cache = None  # don't pin the last scene's ~28 MB at 1M
-            return _BIN_HEADER.pack(_BIN_MAGIC, 0, 0.0, 0.0, play_speed, 1.0, 1.0,
-                                    1.0, 0.0, flags)
+            return (_BIN_HEADER.pack(_BIN_MAGIC, 0, 0.0, 0.0, play_speed, 1.0, 1.0,
+                                     1.0, 0.0, flags), b"")
         meta = frame.metadata
         # Body cache: timeline frames are immutable once pushed and the
         # browser polls much faster than the engine ships (~40 ms encode at
@@ -930,7 +961,10 @@ class WebEditor:
             float(meta.box_width), float(meta.box_height), float(vmax),
             float(meta.species(0).sigma), flags,
         )
-        return header + body_bytes
+        # two buffers, NOT header + body_bytes: the concat would memcpy the
+        # ~8 MB cached body on EVERY fetch (~0.5 GB/s of pure copy at the
+        # sustained 1M fetch rate); the HTTP handler writes them back-to-back
+        return header, body_bytes
 
     # -- controls -----------------------------------------------------------------
     def _persist_presets(self) -> None:
@@ -1178,13 +1212,17 @@ def make_server(http_addr, web: WebEditor) -> ThreadingHTTPServer:
         def log_message(self, *args):  # quiet
             pass
 
-        def _send(self, code, body: bytes, ctype: str):
+        def _send(self, code, body, ctype: str):
+            """body: bytes, or a tuple of buffers written back-to-back
+            (zero-concat path for the big /frame.bin payloads)."""
+            parts = body if isinstance(body, tuple) else (body,)
             self.send_response(code)
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Content-Length", str(sum(len(b) for b in parts)))
             self.send_header("Cache-Control", "no-store")
             self.end_headers()
-            self.wfile.write(body)
+            for b in parts:
+                self.wfile.write(b)
 
         def do_GET(self):
             path = urlparse(self.path).path

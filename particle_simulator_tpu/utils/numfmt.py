@@ -84,9 +84,13 @@ class NumFormatter:
         if self.fmt == NumFormat.SCIENTIFIC:
             if v == 0.0:
                 return "0" + unit
-            exp = int(math.floor(math.log10(abs(v))))
-            mant = v / 10**exp
-            mant_s = _trim(f"{mant:.{self.significant - 1}f}")
+            # exponent/mantissa from the %e rendering — the exact analog of
+            # JS toExponential(sig-1), so the two implementations agree at
+            # decade boundaries where floor(log10(abs(v))) of a double can
+            # land on either side of an integer
+            mant_s, exp_s = f"{v:.{self.significant - 1}e}".split("e")
+            exp = int(exp_s)
+            mant_s = _trim(mant_s)
             if exp == 0:
                 return f"{mant_s}{unit}"
             return f"{mant_s}·10{str(exp).translate(_SUPERSCRIPTS)}{unit}"

@@ -587,6 +587,25 @@ def test_selftest_vectors_pin_the_python_spec():
         got = NumFormatter(NumFormat(fmt), significant=4).format(x, unit)
         assert got == want, (x, fmt)
 
+    # LITERAL spec anchors (not just NumFormatter-replays, which would drift
+    # with a NumFormatter regression): these pin the vectors to the written
+    # spec, including decade boundaries and the >= 1e21 dashed arm
+    literal = {
+        ("metric", 1500.0, ""): "1.5k",
+        ("metric", 5e-14, "s"): "50fs",
+        ("metric", 1048576.0, "B"): "1.049MB",
+        ("scientific", 6.022e23, ""): "6.022·10²³",
+        ("scientific", 1e-7, "s"): "1·10⁻⁷s",
+        ("scientific", 1e21, ""): "1·10²¹",
+        ("dashed", 1234567.89, ""): "1_235_000",
+        ("dashed", 1e21, ""): "1_000_000_000_000_000_000_000",
+        ("dashed", -1e21, ""): "-1_000_000_000_000_000_000_000",
+    }
+    vecmap = {(fmt, x, unit): want for x, unit, fmt, want in v["fmt"]}
+    for key, want in literal.items():
+        assert key in vecmap, f"literal anchor {key} missing from vectors"
+        assert vecmap[key] == want, (key, vecmap[key])
+
     blob = base64.b64decode(v["pbin"]["b64"])
     exp = v["pbin"]["expected"]
     magic, count, ft, pt, speed, bw, bh, vscale, sigma, flags = struct.unpack_from(
@@ -661,3 +680,14 @@ def test_gui_panel_parity_controls_present(ui):
     assert st["cursor_frac"] == pytest.approx(0.05)  # particle.rs:138 default
     post(base, "/params", {"cursor_size": 0.12})
     assert json.loads(get(base, "/stats"))["cursor_frac"] == pytest.approx(0.12)
+
+
+def test_panel_renders_both_species_sliders(ui):
+    """The parameters panel shows Mie sliders for BOTH species like the
+    reference editor (editor.rs:828-1411) — species 0 drives physics,
+    species 1 rides the metadata (kernel_bucket.cuh:52)."""
+    web, base = ui
+    page = get(base, "/").decode()
+    for name in ("sigma0", "epsilon0", "n0", "m0",
+                 "sigma1", "epsilon1", "n1", "m1"):
+        assert f"param('{name}'" in page, f"missing slider wiring for {name}"
