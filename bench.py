@@ -287,7 +287,16 @@ def bench_user_scene(args) -> int:
     side = max(2, int(round(args.particles ** 0.5)))
     frame = _scene(side, side, distance_factor=1.1, speed=1.0, box_fill=0.5)
     frame.metadata.steps_per_frame = args.steps
-    sim = Simulator()
+    mesh = None
+    if args.sharded:
+        # the full multi-chip program on this host's mesh (1x1 on the single
+        # dev chip): the sparse user scene is where the sharded lane-chunk
+        # column skip (parallel/domain.py tombstone-margin x-pad) engages —
+        # A/B against --lane-chunks 1 measures it on hardware
+        from particle_simulator_tpu.parallel.domain import make_mesh
+
+        mesh = make_mesh()
+    sim = Simulator(mesh=mesh)
     sim.load_frame(frame)
     if args.lane_chunks:
         sim._lane_chunks = args.lane_chunks
@@ -343,6 +352,11 @@ def bench_user_scene(args) -> int:
                 # persistent pad-extended layout mode (PS_EXT_IO / --ext-io)
                 "ext_io": args.ext_io,
                 "device": str(jax.devices()[0].platform),
+                **(
+                    {"sharded_mesh": list(mesh.devices.shape)}
+                    if mesh is not None
+                    else {}
+                ),
             }
         )
     )
