@@ -579,6 +579,75 @@ def test_compilation_cache_persists_executables(tmp_path):
     assert enable_compilation_cache("") is None
 
 
+def test_pallas_cache_key_is_caller_stack_stable(tmp_path):
+    """The persistent-cache key must not depend on WHO calls the frame
+    program. Pallas serializes its Mosaic module into the custom call's
+    backend_config with MLIR locations built from the full Python stack at
+    trace time; jax's cache-key canonicalization (strip-debuginfo) cannot
+    reach into that payload, so without the
+    jax_include_full_tracebacks_in_locations=False pin in
+    enable_compilation_cache the same program hashes differently from
+    bench.py vs the daemon and every entry point pays its own multi-minute
+    Mosaic compile (measured on chip r4: 282 s of first-frames in a daemon
+    started 50 min after bench.py compiled the identical program; the two
+    cached executables differed only in embedded source paths).
+
+    Two subprocesses lower the SAME frame program for the TPU target
+    through differently-named caller chains and print the canonicalized-IR
+    sha the cache key hashes; the shas must match."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    prog = (
+        "import sys, hashlib\n"
+        "from particle_simulator_tpu.utils.compile_cache import "
+        "enable_compilation_cache\n"
+        f"assert enable_compilation_cache({str(tmp_path / 'ck')!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from particle_simulator_tpu.physics.bucket import GridConfig\n"
+        "from particle_simulator_tpu.engine.state import empty_state\n"
+        "from particle_simulator_tpu.engine.simulator import "
+        "_run_bucket_pallas, SimParams\n"
+        "from particle_simulator_tpu.io.frame import default_metadata\n"
+        "cfg = GridConfig(4, 4, 8)\n"
+        "params = SimParams.from_record(default_metadata())\n"
+        "state = empty_state(cfg.grid_shape)\n"
+        "def lower_now():\n"
+        "    t = _run_bucket_pallas.trace(state, params, block_rows=8,\n"
+        "        lane_chunks=1, ext_io=False, compact_tiles=True)\n"
+        "    return t.lower(lowering_platforms=('tpu',))\n"
+        "def bench_like_caller():\n"
+        "    return lower_now()\n"
+        "def daemon_like_caller_with_another_name():\n"
+        "    return bench_like_caller() if False else lower_now()\n"
+        "low = (bench_like_caller() if sys.argv[1] == 'a'\n"
+        "       else daemon_like_caller_with_another_name())\n"
+        "from jax._src import cache_key as ck\n"
+        "ir = ck._canonicalize_ir(low._lowering.stablehlo(),\n"
+        "                         ck.IgnoreCallbacks.NO)\n"
+        "print('CANON', hashlib.sha256(ir).hexdigest())\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    shas = {}
+    for mode in ("a", "b"):
+        out = subprocess.run(
+            [sys.executable, "-c", prog, mode],
+            env=env, cwd=str(Path(__file__).parent.parent), check=True,
+            capture_output=True, text=True, timeout=600,
+        )
+        shas[mode] = [l for l in out.stdout.splitlines()
+                      if l.startswith("CANON")][-1]
+    assert shas["a"] == shas["b"], (
+        "canonical IR depends on the caller stack — the Mosaic payload "
+        "embeds trace-time source locations again; check the "
+        "jax_include_full_tracebacks_in_locations pin in "
+        "utils/compile_cache.py"
+    )
+
+
 def test_progressive_compile_serves_jnp_then_switches(monkeypatch):
     """Progressive kernel compile (engine/simulator.py _pallas_warm): a cold
     grid shape is served through the jnp runner while the Pallas program
