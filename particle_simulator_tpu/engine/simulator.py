@@ -739,20 +739,28 @@ class Simulator:
     def _fast_readback_ok(self, state) -> bool:
         """Bucket-grid states on an accelerator qualify for device-side
         compaction (ops/readback.py); everything else (CompactArray 1D
-        layouts, host-resident CpuMainThread states, sharded mesh states,
-        plain-CPU states where the transfer is free) reads the full grid."""
-        if self.mesh is not None or not isinstance(state, ParticleState):
+        layouts, host-resident CpuMainThread states, multi-HOST mesh states,
+        plain-CPU states where the transfer is free) reads the full grid.
+
+        Single-host mesh states DO qualify: the sharded frame fn returns the
+        unpadded global (BY, BX, CAP) grid sharded P("dy","dx",None), on
+        which dense_readback's cumsum/gather algebra is mesh-agnostic — GSPMD
+        inserts the (ICI-resident) collectives, and the host link then
+        carries the ~20 B/particle pack instead of the full slot grid
+        (25.2 s -> dense-pack time for one 1M-user-grid read_frame over the
+        tunnel, BASELINE.md r4). Multi-host stays on the gather_global path:
+        the pack output would not be fully addressable on process 0."""
+        if not isinstance(state, ParticleState):
             return False
         x = state.x
         if not isinstance(x, jax.Array) or x.ndim != 3:
             return False
-        if self.force_device_readback:
-            return True
         try:
-            return (
-                x.is_fully_addressable
-                and next(iter(x.devices())).platform != "cpu"
-            )
+            if not x.is_fully_addressable:
+                return False
+            if self.force_device_readback:
+                return True
+            return next(iter(x.devices())).platform != "cpu"
         except Exception:
             return False
 

@@ -235,6 +235,37 @@ def test_daemon_sharded_over_mesh():
     server.close()
 
 
+def test_sharded_read_frame_dense_pack_bit_identical():
+    """read_frame on a single-host sharded mesh state takes the dense-pack
+    fast path (ops/readback.py) and its wire frame is byte-identical to the
+    full-grid slow path — including over an odd mesh with tombstone pad rows.
+    The sharded frame fn returns the unpadded global grid P("dy","dx",None),
+    on which dense_readback's cumsum/gather algebra is mesh-agnostic (GSPMD
+    inserts the collectives); the editor wire order (global bucket scan,
+    ascending slots — frontend.hpp:50-56) is unchanged because pad rows are
+    all-tombstone and contribute zero counts."""
+    import jax
+
+    from particle_simulator_tpu.parallel.domain import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    for n_dev in (8, 3):
+        sim = Simulator(GridConfig(4, 4, 8), mesh=make_mesh(n_devices=n_dev))
+        sim.load_frame(scene_frame())
+        sim.frame_async()  # state becomes a sharded jit output
+        slow = sim.read_frame()  # CPU platform: full-grid slow path
+        sim.force_device_readback = True
+        ticket = sim.start_readback()
+        assert ticket.packed is not None, (
+            f"dense-pack fast path did not engage on the {n_dev}-device mesh state"
+        )
+        fast = sim.read_frame(ticket)
+        assert fast.particle_count == slow.particle_count
+        assert fast.particles.tobytes() == slow.particles.tobytes()
+
+
 def test_grid_selection_is_density_aware():
     """A dense scene must not silently drop most of its particles: the engine
     grows the grid (finer buckets, then deeper buckets past the physics
