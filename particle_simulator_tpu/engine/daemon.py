@@ -221,6 +221,10 @@ def main_loop(frontend: Frontend, sim: Simulator, max_frames: int | None = None,
             suffix = {
                 "bucket-jnp-interim": " [interim jnp kernel; pallas compiling]",
                 "bucket-jnp-pinned": " [jnp kernel; pallas compile failed]",
+                "sharded-jnp-interim":
+                    " [interim sharded-jnp kernel; sharded pallas compiling]",
+                "sharded-jnp-pinned":
+                    " [sharded-jnp kernel; sharded pallas compile failed]",
             }.get(sim.active_kernel, "")
             if trace:
                 suffix += (f" [ship: readback {stage_s['readback']:.2f}s"

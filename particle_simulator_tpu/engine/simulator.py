@@ -85,6 +85,14 @@ def _cpu_device():
     return jax.devices("cpu")[0] if jax.local_devices(backend="cpu") else jax.devices()[0]
 
 
+def _sharded_step_kernel() -> str:
+    """Local step kernel for the sharded (mesh) path: the Pallas VMEM kernel
+    on real TPU, the portable jnp kernel elsewhere (the Pallas interpreter is
+    far too slow to serve frames). Module-level so tests can monkeypatch the
+    selection and drive the sharded progressive-compile machinery on CPU."""
+    return "pallas" if jax.default_backend() == "tpu" else "jnp"
+
+
 def _grid_for(
     live: np.ndarray,
     base: GridConfig,
@@ -523,20 +531,31 @@ class Simulator:
                 self.active_kernel = "allpairs-jnp"
         elif self.mesh is not None:
             # multi-chip spatial domain decomposition (parallel/domain.py)
-            kernel = "pallas" if jax.default_backend() == "tpu" else "jnp"
+            kernel = _sharded_step_kernel()
             # the pallas local step honors the scene's lane-chunk column-skip
             # choice (falls back per-mesh when the local width can't chunk)
             chunks = self._lane_chunks if kernel == "pallas" else 1
-            key = (self.grid, self.mesh, kernel, chunks)
-            fn = self._sharded_fns.get(key)
-            if fn is None:
-                from particle_simulator_tpu.parallel.domain import make_sharded_frame_fn
-
-                fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False,
-                                           kernel=kernel, lane_chunks=chunks)
-                self._sharded_fns[key] = fn
-            self.state = fn(self.state, self.params)
-            self.active_kernel = "sharded-pallas" if jax.default_backend() == "tpu" else "sharded-jnp"
+            if (
+                kernel == "pallas"
+                and self.progressive_compile
+                and not self._sharded_warm(chunks)
+            ):
+                # cold sharded Mosaic program: serve the same sharded step
+                # math through the jnp local kernel (XLA compiles in
+                # seconds) while the background thread compiles the Pallas
+                # program — frames flow from the first dispatch, exactly
+                # like the single-chip interim runner below
+                self.state = self._sharded_fn("jnp", 1)(self.state, self.params)
+                status = self._pallas_status.get(
+                    ("sharded", self.grid, self.mesh, chunks)
+                )
+                self.active_kernel = (
+                    "sharded-jnp-pinned" if status == "failed"
+                    else "sharded-jnp-interim"
+                )
+            else:
+                self.state = self._sharded_fn(kernel, chunks)(self.state, self.params)
+                self.active_kernel = f"sharded-{kernel}"
         elif self.active_device == Device.GPU:
             # accelerator: the Pallas VMEM-resident kernel (ops/bucket_pallas.py).
             # gpu_threads_per_block_log2 (the reference's runtime launch-width
@@ -572,7 +591,82 @@ class Simulator:
         if self.state is not None:
             jax.block_until_ready(self.state)
 
+    def _sharded_fn(self, kernel: str, chunks: int):
+        """The cached jitted sharded frame runner for (grid, mesh, kernel,
+        lane_chunks). Thread-safe enough as-is: dict get/set under the GIL,
+        and a racing duplicate build just wastes one trace."""
+        key = (self.grid, self.mesh, kernel, chunks)
+        fn = self._sharded_fns.get(key)
+        if fn is None:
+            from particle_simulator_tpu.parallel.domain import make_sharded_frame_fn
+
+            fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False,
+                                       kernel=kernel, lane_chunks=chunks)
+            self._sharded_fns[key] = fn
+        return fn
+
     # -- progressive Pallas compile (see __init__ for the rationale) -----------
+    def _sharded_warm(self, chunks: int) -> bool:
+        """Sharded-path analog of ``_pallas_warm``: True once the sharded
+        Pallas frame program for (grid, mesh, lane_chunks) is compiled. The
+        first call for a cold signature spawns the compile thread and
+        returns False — frame_async serves the sharded-jnp runner meanwhile;
+        a failed compile pins the signature to it."""
+        key = ("sharded", self.grid, self.mesh, chunks)
+        with self._pallas_claim_lock:
+            status = self._pallas_status.get(key)
+            if status is None:
+                self._pallas_status[key] = "compiling"
+        if status == "ok":
+            return True
+        if status is None:
+            import threading
+
+            threading.Thread(
+                target=self._compile_sharded,
+                args=(key, self.params),
+                daemon=True,
+                name="sharded-pallas-compile",
+            ).start()
+        return False
+
+    def _compile_sharded(self, key, params: SimParams) -> None:
+        """Background thread: compile (and once-execute) the sharded Pallas
+        frame program on a tombstone-only dummy of the PADDED global shape —
+        mesh row padding changes the jit signature, so the dummy must go
+        through the same pad_rows_for_mesh + shard_state as load_frame."""
+        _, grid, mesh, chunks = key
+        try:
+            from particle_simulator_tpu.engine.state import empty_state
+            from particle_simulator_tpu.parallel.domain import (
+                pad_rows_for_mesh,
+                shard_state,
+            )
+
+            dummy, _ = pad_rows_for_mesh(empty_state(grid.grid_shape), mesh)
+            dummy = shard_state(dummy, mesh)
+            out = self._sharded_fn("pallas", chunks)(dummy, params)
+            jax.block_until_ready(out)
+            self._pallas_status[key] = "ok"
+            import sys
+
+            print(
+                f"engine: sharded pallas program ready for grid {grid.bx}x"
+                f"{grid.by}x{grid.cap} over mesh {tuple(mesh.devices.shape)}"
+                " — switching off the interim jnp runner",
+                file=sys.stderr,
+            )
+        except Exception as e:  # pragma: no cover - depends on device limits
+            self._pallas_status[key] = "failed"
+            import sys
+
+            print(
+                f"engine: sharded pallas compile failed for grid {grid.bx}x"
+                f"{grid.by}x{grid.cap} ({type(e).__name__}); staying on the "
+                "sharded-jnp runner",
+                file=sys.stderr,
+            )
+
     def _pallas_warm(self, block_rows: int) -> bool:
         """True once the Pallas frame program for the CURRENT (grid,
         block_rows, lane_chunks) signature is compiled and safe to call

@@ -740,6 +740,78 @@ def test_progressive_compile_serves_jnp_then_switches(monkeypatch):
     assert np.isfinite(after.particles["vx"]).all()
 
 
+def test_sharded_progressive_compile_serves_jnp_then_switches(monkeypatch):
+    """Sharded-path progressive compile (engine/simulator.py _sharded_warm):
+    a cold sharded Pallas signature is served through the sharded-jnp runner
+    while the Pallas program compiles on a background thread, then
+    frame_async switches over — the daemon with --devices N never blocks its
+    loop on a multi-minute Mosaic compile. Kernel selection and the Pallas
+    frame-fn builder are stubbed so the compile window is deterministic."""
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+    from particle_simulator_tpu.parallel import domain as dom
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    gate = threading.Event()
+    calls = []
+    real_make = dom.make_sharded_frame_fn
+
+    def fake_make(cfg, mesh, donate=True, kernel="jnp", lane_chunks=1):
+        if kernel != "pallas":
+            return real_make(cfg, mesh, donate=donate, kernel=kernel,
+                             lane_chunks=lane_chunks)
+        inner = real_make(cfg, mesh, donate=donate, kernel="jnp")
+
+        def gated(state, p):
+            calls.append(kernel)
+            assert gate.wait(30.0), "test gate never released"
+            return inner(state, p)
+
+        return gated
+
+    monkeypatch.setattr(dom, "make_sharded_frame_fn", fake_make)
+    monkeypatch.setattr(sim_mod, "_sharded_step_kernel", lambda: "pallas")
+
+    from particle_simulator_tpu.parallel.domain import make_mesh
+
+    sim = Simulator(GridConfig(4, 4, 8), mesh=make_mesh(n_devices=8))
+    sim.progressive_compile = True
+    sim.load_frame(scene_frame(n=6, steps=3))
+
+    # frame 1: cold sharded signature -> interim sharded-jnp + compile thread
+    sim.frame_async()
+    assert sim.active_kernel == "sharded-jnp-interim"
+    key = ("sharded", sim.grid, sim.mesh, sim._lane_chunks)
+    assert sim._pallas_status[key] == "compiling"
+    deadline = time.monotonic() + 30.0
+    while len(calls) < 1 and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert len(calls) == 1  # the background thread's dummy dispatch only
+    before = sim.read_frame()
+    assert before.particle_count > 0
+
+    # frame 2: still compiling -> interim again, no second compile thread
+    sim.frame_async()
+    assert sim.active_kernel == "sharded-jnp-interim"
+    assert len(calls) == 1
+
+    gate.set()
+    deadline = time.monotonic() + 30.0
+    while sim._pallas_status[key] != "ok" and time.monotonic() < deadline:
+        time.sleep(0.005)
+    assert sim._pallas_status[key] == "ok"
+
+    # frame 3: switched over to the (stubbed) sharded Pallas program
+    sim.frame_async()
+    assert sim.active_kernel == "sharded-pallas"
+    assert len(calls) == 2
+    after = sim.read_frame()
+    assert np.isfinite(after.particles["vx"]).all()
+
+
 def test_progressive_compile_failure_pins_jnp(monkeypatch):
     """A failed Pallas compile (device limits, etc.) must pin the signature
     to the jnp runner — no retry storm, no crash."""
