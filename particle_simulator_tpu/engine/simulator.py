@@ -591,16 +591,20 @@ class Simulator:
         if self.state is not None:
             jax.block_until_ready(self.state)
 
-    def _sharded_fn(self, kernel: str, chunks: int):
+    def _sharded_fn(self, kernel: str, chunks: int, grid: GridConfig | None = None):
         """The cached jitted sharded frame runner for (grid, mesh, kernel,
-        lane_chunks). Thread-safe enough as-is: dict get/set under the GIL,
-        and a racing duplicate build just wastes one trace."""
-        key = (self.grid, self.mesh, kernel, chunks)
+        lane_chunks); ``grid`` defaults to the current one (background
+        compile threads pass their claim key's grid explicitly — a scene
+        re-layout mid-compile must not retarget them). Thread-safe enough
+        as-is: dict get/set under the GIL, and a racing duplicate build just
+        wastes one trace."""
+        grid = self.grid if grid is None else grid
+        key = (grid, self.mesh, kernel, chunks)
         fn = self._sharded_fns.get(key)
         if fn is None:
             from particle_simulator_tpu.parallel.domain import make_sharded_frame_fn
 
-            fn = make_sharded_frame_fn(self.grid, self.mesh, donate=False,
+            fn = make_sharded_frame_fn(grid, self.mesh, donate=False,
                                        kernel=kernel, lane_chunks=chunks)
             self._sharded_fns[key] = fn
         return fn
@@ -645,7 +649,7 @@ class Simulator:
 
             dummy, _ = pad_rows_for_mesh(empty_state(grid.grid_shape), mesh)
             dummy = shard_state(dummy, mesh)
-            out = self._sharded_fn("pallas", chunks)(dummy, params)
+            out = self._sharded_fn("pallas", chunks, grid=grid)(dummy, params)
             jax.block_until_ready(out)
             self._pallas_status[key] = "ok"
             import sys
@@ -757,6 +761,41 @@ class Simulator:
             )
             rec = default_metadata()
             params = SimParams.from_record(rec)
+            if self.mesh is not None:
+                # sharded daemon (--devices N): the single-chip program below
+                # would never run — warm the SHARDED Pallas program for the
+                # default grid instead (grown to tile the mesh's x axis,
+                # exactly like load_frame will)
+                nx = self.mesh.devices.shape[1]
+                while cfg.bx % nx:
+                    cfg = GridConfig(
+                        cfg.bx_log2 + 1, cfg.by_log2 + 1, cfg.cap,
+                        cfg.move_every,
+                    )
+                key = ("sharded", cfg, self.mesh, 1)
+                with self._pallas_claim_lock:
+                    if key in self._pallas_status:
+                        return
+                    self._pallas_status[key] = "compiling"
+                try:
+                    from particle_simulator_tpu.parallel.domain import (
+                        pad_rows_for_mesh,
+                        shard_state,
+                    )
+
+                    dummy, _ = pad_rows_for_mesh(
+                        empty_state(cfg.grid_shape), self.mesh
+                    )
+                    dummy = shard_state(dummy, self.mesh)
+                    out = self._sharded_fn("pallas", 1, grid=cfg)(dummy, params)
+                    jax.block_until_ready(out)
+                    self._pallas_status[key] = "ok"
+                except Exception:
+                    # best-effort: clear the claim so a real scene's
+                    # _sharded_warm can run (and report) its own compile
+                    self._pallas_status.pop(key, None)
+                    raise
+                return
             # derive block_rows exactly like frame_async so the warmed jit
             # signature tracks any future default-metadata change
             k = int(rec["gpu_threads_per_block_log2"])

@@ -883,6 +883,64 @@ def test_warm_start_marks_progressive_signature_hot(monkeypatch):
     assert list(sim._pallas_status.values()) == ["ok"]
 
 
+def test_sharded_warm_start_covers_default_grid(monkeypatch):
+    """With a mesh (--devices N), the warm-start thread compiles the SHARDED
+    Pallas program for the default grid and registers it with the
+    progressive gate — the out-of-box default scene's first sharded frame
+    goes straight to it, no interim sharded-jnp detour."""
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+    from particle_simulator_tpu.io.frame import Frame
+    from particle_simulator_tpu.io.presets import ParticleLattice
+    from particle_simulator_tpu.parallel import domain as dom
+    from particle_simulator_tpu.parallel.domain import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    calls = []
+    real_make = dom.make_sharded_frame_fn
+
+    def fake_make(cfg, mesh, donate=True, kernel="jnp", lane_chunks=1):
+        if kernel != "pallas":
+            return real_make(cfg, mesh, donate=donate, kernel=kernel,
+                             lane_chunks=lane_chunks)
+        inner = real_make(cfg, mesh, donate=donate, kernel="jnp")
+
+        def fn(state, p):
+            calls.append(cfg)
+            return inner(state, p)
+
+        return fn
+
+    monkeypatch.setattr(dom, "make_sharded_frame_fn", fake_make)
+    monkeypatch.setattr(sim_mod, "_sharded_step_kernel", lambda: "pallas")
+
+    sim = Simulator(mesh=make_mesh(n_devices=8))
+    sim.accel = jax.devices("cpu")[0]
+    sim.progressive_compile = True
+    sim.warm_default_grid()
+    assert list(sim._pallas_status.values()) == ["ok"]
+    assert len(calls) == 1
+
+    # the ACTUAL default editor scene (the same lattice warm derives from)
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((50, 50), distance_factor=1.1)
+    lat.hex_square(frame, (meta.box_width / 2, meta.box_height / 2),
+                   rng=np.random.default_rng(0))
+    frame.metadata.steps_per_frame = 2
+    sim.load_frame(frame)
+    sim.frame_async()
+    # the sharded Pallas program ran synchronously: warm key == frame key
+    assert sim.active_kernel == "sharded-pallas"
+    assert len(calls) == 2
+    assert list(sim._pallas_status.values()) == ["ok"]
+    out = sim.read_frame()
+    assert np.isfinite(out.particles["vx"]).all()
+
+
 def test_live_edit_never_restamps_inflight_frames():
     """A live metadata edit must only stamp frames DISPATCHED after it: the
     ticket queued for an in-flight frame carries the metadata snapshot taken
