@@ -380,8 +380,10 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
     # first Mosaic compile costs ~1 min over the dev tunnel — hiding it
     # behind the user's first interaction makes the out-of-box scene load
     # feel instant. jit compilation is thread-safe; a different first scene
-    # at worst queues its compile behind this one.
-    if not multiproc and mesh is None:
+    # at worst queues its compile behind this one. With a mesh, the warmer
+    # targets the SHARDED default-grid program; multi-process runs skip it
+    # (a background compile issuing collectives would need all hosts).
+    if not multiproc:
         import threading
 
         threading.Thread(target=sim.warm_default_grid, daemon=True).start()
@@ -403,8 +405,10 @@ def serve(addr=("127.0.0.1", 53123), grid=None, max_frames=None, retry_s: float 
     # the persistent compile cache covers the grid per-grid, not per-occupancy
     # (r3: a webview lattice paid 378 s on a machine bench.py had just
     # warmed). Gated on progressive mode so measurement runs
-    # (--no-progressive-compile) keep the tunnel to themselves.
-    if progressive_compile and not multiproc and mesh is None:
+    # (--no-progressive-compile) keep the tunnel to themselves. Sharded
+    # single-process daemons warm their sharded sibling signature the same
+    # way; multi-process runs skip (background collectives need all hosts).
+    if progressive_compile and not multiproc:
         import threading
 
         def _warm_siblings() -> None:

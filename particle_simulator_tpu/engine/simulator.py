@@ -838,13 +838,26 @@ class Simulator:
         measurement window. Returns the number of signatures compiled."""
         if self.accel is None or self.meta_record is None:
             return 0
-        if self.data_structure != DataStructure.MATRIX_BUCKETS or self.mesh is not None:
+        if self.data_structure != DataStructure.MATRIX_BUCKETS:
             return 0
         cands = _lane_chunk_candidates(self.grid)
         targets = {cands[0] if cands else 1, 1} - {self._lane_chunks}
+        compiled = 0
+        if self.mesh is not None:
+            # sharded signatures key on (grid, mesh, lane_chunks); infeasible
+            # chunk counts fall back inside the traced program, so warming
+            # the requested value is always the right key
+            for c in sorted(targets):
+                key = ("sharded", self.grid, self.mesh, c)
+                with self._pallas_claim_lock:
+                    if key in self._pallas_status:
+                        continue  # compiled / compiling elsewhere
+                    self._pallas_status[key] = "compiling"
+                self._compile_sharded(key, self.params)
+                compiled += 1
+            return compiled
         k = int(self.meta_record["gpu_threads_per_block_log2"])
         block_rows = max(1, 1 << max(0, k - 4))
-        compiled = 0
         for c in sorted(targets):
             key = (self.grid, block_rows, c)
             with self._pallas_claim_lock:

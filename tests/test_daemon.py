@@ -941,6 +941,47 @@ def test_sharded_warm_start_covers_default_grid(monkeypatch):
     assert np.isfinite(out.particles["vx"]).all()
 
 
+def test_sharded_sibling_lane_chunk_warm(monkeypatch):
+    """warm_sibling_lane_chunks over a mesh compiles the grid's OTHER
+    sharded lane-chunk signature (r3 weak item 4's sharded leg): the key it
+    registers is exactly what frame_async's _sharded_warm would claim."""
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+    from particle_simulator_tpu.parallel import domain as dom
+    from particle_simulator_tpu.parallel.domain import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+
+    real_make = dom.make_sharded_frame_fn
+
+    def fake_make(cfg, mesh, donate=True, kernel="jnp", lane_chunks=1):
+        if kernel != "pallas":
+            return real_make(cfg, mesh, donate=donate, kernel=kernel,
+                             lane_chunks=lane_chunks)
+        return real_make(cfg, mesh, donate=donate, kernel="jnp")
+
+    monkeypatch.setattr(dom, "make_sharded_frame_fn", fake_make)
+
+    # a grid with a valid split: bx*cap = 256*8 = 2048, c=2 -> width 1024
+    grid = GridConfig(8, 4, 8)
+    assert sim_mod._lane_chunk_candidates(grid) == [2]
+
+    sim = Simulator(grid, mesh=make_mesh(n_devices=8))
+    sim.accel = jax.devices("cpu")[0]
+    sim.load_frame(scene_frame(n=6, steps=2))
+    sim.grid = grid  # pin: _grid_for may shrink the grid for a tiny scene
+    sim._lane_chunks = 1
+    n = sim.warm_sibling_lane_chunks()
+    assert n == 1
+    key = ("sharded", sim.grid, sim.mesh, 2)
+    assert sim._pallas_status.get(key) == "ok"
+
+    # idempotent — the claim is registered, nothing recompiles
+    assert sim.warm_sibling_lane_chunks() == 0
+
+
 def test_live_edit_never_restamps_inflight_frames():
     """A live metadata edit must only stamp frames DISPATCHED after it: the
     ticket queued for an in-flight frame carries the metadata snapshot taken
