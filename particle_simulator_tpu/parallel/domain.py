@@ -175,6 +175,13 @@ def _ship_pair(a, axis: int, axis_name: str, n: int, is_ty: bool,
 
 
 _IS_TY = (False, False, False, False, True)  # ParticleState field order
+_ALL_FIELDS = (0, 1, 2, 3, 4)
+# All the step kernel reads of its halo: candidate passes use x/y/ty only —
+# ops/bucket_pallas.py _step_block never reads a neighbor's vx/vy (the Mie /
+# wall / cursor forces are position-only, like the reference's particle.cuh).
+# Velocities matter only to the MOVE pass, which pulls whole particles.
+_POS_FIELDS = (0, 1, 4)
+_VEL_FIELDS = (2, 3)
 
 
 def pad_x_state(state: ParticleState, nx: int, xpad: int = 1) -> ParticleState:
@@ -205,15 +212,27 @@ def pad_x_state(state: ParticleState, nx: int, xpad: int = 1) -> ParticleState:
     return ParticleState(*out)
 
 
-def refresh_x_cols(sp: ParticleState, nx: int, xpad: int = 1) -> ParticleState:
+def refresh_x_cols(
+    sp: ParticleState, nx: int, xpad: int = 1,
+    fields: tuple[int, ...] = _ALL_FIELDS,
+) -> ParticleState:
     """Refresh the halo columns of an x-padded (ly, lx+2*xpad, cap) grid in
     place: ship the two INTERIOR edge columns (xpad and lx+xpad-1) to the
     x-neighbors and write what arrives into the halo columns (xpad-1 and
     lx+xpad). Two one-column copies per step instead of the whole-state
     concat + interior re-slice. Tombstone margin columns (xpad > 1) are
-    never touched — they stay dead."""
+    never touched — they stay dead.
+
+    ``fields`` selects which ParticleState fields to refresh; the rest pass
+    through untouched. The sharded step refreshes ``_POS_FIELDS`` only (the
+    force pass never reads a halo particle's velocity) and tops up
+    ``_VEL_FIELDS`` once per move cadence — 6 instead of 10 halo-column
+    collectives+writes per step."""
     out = []
-    for a, is_ty in zip(sp, _IS_TY):
+    for i, (a, is_ty) in enumerate(zip(sp, _IS_TY)):
+        if i not in fields:
+            out.append(a)
+            continue
         lo_halo, hi_halo = _ship_pair(a, 1, AXIS_X, nx, is_ty,
                                       lo_idx=xpad, hi_idx=a.shape[1] - 1 - xpad)
         a = jax.lax.dynamic_update_slice_in_dim(a, lo_halo, xpad - 1, axis=1)
@@ -237,14 +256,27 @@ def x_pad_for_chunks(lx: int, cap: int, lane_chunks: int) -> int | None:
     return None
 
 
-def ship_edge_rows(sp: ParticleState, ny: int) -> tuple[ParticleState, ParticleState]:
+def ship_edge_rows(
+    sp: ParticleState, ny: int, fields: tuple[int, ...] = _ALL_FIELDS
+) -> tuple[ParticleState, ParticleState]:
     """The (1, lx+2, cap) top/bottom neighbor rows of an x-padded grid whose
     halo columns are CURRENT. The shipped rows include those columns, so each
     device's top/bottom row carries its y-neighbor's x-halo corners — the
-    same "y-phase ships x-padded rows" corner rule as ``exchange_halo``."""
+    same "y-phase ships x-padded rows" corner rule as ``exchange_halo``.
+
+    ``fields`` selects which ParticleState fields actually ship; unshipped
+    fields come back as tombstone/zero placeholder rows. The sharded STEP
+    ships ``_POS_FIELDS`` only — ``bucket_step_pallas``'s packed halo stack
+    holds x/y/ty rows and nothing reads an edge row's velocity — cutting the
+    per-step edge-row collectives from 10 to 6; the MOVE ships all five
+    (migration pulls whole particles)."""
     tops, bottoms = [], []
-    for a, is_ty in zip(sp, _IS_TY):
-        top, bottom = _ship_pair(a, 0, AXIS_Y, ny, is_ty)
+    for i, (a, is_ty) in enumerate(zip(sp, _IS_TY)):
+        if i in fields:
+            top, bottom = _ship_pair(a, 0, AXIS_Y, ny, is_ty)
+        else:
+            top = bottom = jnp.full((1,) + a.shape[1:], -1 if is_ty else 0,
+                                    a.dtype)
         tops.append(top)
         bottoms.append(bottom)
     return ParticleState(*tops), ParticleState(*bottoms)
@@ -344,12 +376,16 @@ def _local_frame(
                 break
 
         def step(sp):
-            top, bottom = ship_edge_rows(sp, ny)
+            # positions + ty only: the force pass never reads a neighbor's
+            # velocity, so per step 12 collectives ride ICI instead of 20
+            top, bottom = ship_edge_rows(sp, ny, fields=_POS_FIELDS)
             out = bucket_step_pallas(sp, p, interpret=interpret,
                                      edge_rows=(top, bottom), lane_chunks=C)
             # the kernel's outputs for the halo columns are stale recompute;
             # overwrite them with the x-neighbors' fresh interior edges
-            return refresh_x_cols(out, nx, xpad=xpad)
+            # (x/y/ty — the halo columns' vx/vy stay stale between moves,
+            # invisible to interior outputs)
+            return refresh_x_cols(out, nx, xpad=xpad, fields=_POS_FIELDS)
 
         # Migration/rebucket: the direct shard-aware pass (elementwise ranks,
         # no argsort over the 9*CAP neighborhood axis — ARCHITECTURE.md
@@ -363,6 +399,10 @@ def _local_frame(
             # x-padded rows), one y-concat instead of x-concat + y-concat.
             # Tombstone margin columns (xpad > 1) are sliced off first: the
             # move kernel's halo layout is exactly one column per side.
+            # The per-step refresh keeps halo x/y/ty current but skips
+            # vx/vy (forces never read them); migration pulls WHOLE
+            # particles, so top the velocity columns up now.
+            sp = refresh_x_cols(sp, nx, xpad=xpad, fields=_VEL_FIELDS)
             if xpad > 1:
                 sp = ParticleState(*(a[:, xpad - 1 : a.shape[1] - (xpad - 1)]
                                      for a in sp))

@@ -204,9 +204,16 @@ def test_sharded_frame_matches_single_device(n_devices):
     np.testing.assert_allclose(ref.vy, got.vy, rtol=1e-3, atol=0.05)
 
 
-def test_sharded_migration_across_boundary():
+@pytest.mark.parametrize("kernel", ["jnp", "pallas"])
+def test_sharded_migration_across_boundary(kernel):
     """A particle drifting across a shard boundary is pulled by the new owner
-    and dropped by the old one (pull-based migration via halo)."""
+    and dropped by the old one (pull-based migration via halo).
+
+    The particle carries a nonzero vy while crossing the dx boundary: the
+    pallas runner's per-step halo refresh skips velocity columns (forces
+    never read them) and tops them up only before the move — if that
+    pre-move refresh failed, the pulled particle would arrive with a stale
+    or garbage velocity and diverge immediately."""
     cfg = GridConfig(4, 4, 4, move_every=2)
     frame = Frame.new()
     meta = frame.metadata
@@ -216,7 +223,7 @@ def test_sharded_migration_across_boundary():
     # reference's own drift bound (kernel_bucket.cuh:30-31).
     bw = meta.box_width
     v = 0.125 * bw / (np.float32(meta.step_dt) * 8)  # 2 buckets over 8 steps
-    frame.push(meta.new_particle((bw * 0.49, bw * 0.5), (float(v), 0.0)))
+    frame.push(meta.new_particle((bw * 0.49, bw * 0.5), (float(v), float(v) / 3)))
     layout = bucketize_numpy(frame.particles, cfg)
     state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
     params = SimParams.from_record(meta.copy())._replace(steps_per_frame=np.int32(8))
@@ -224,12 +231,26 @@ def test_sharded_migration_across_boundary():
     ref = jax.tree.map(np.asarray, run_frame_bucket(state, params, move_every=cfg.move_every))
 
     mesh = make_mesh(n_devices=8)
-    fn = make_sharded_frame_fn(cfg, mesh, donate=False)
+    fn = make_sharded_frame_fn(cfg, mesh, donate=False, kernel=kernel)
     got = jax.tree.map(np.asarray, fn(shard_state(state, mesh), params))
 
-    # a single particle feels no pair forces — results are bit-identical
-    for name, a, b in zip(ref._fields, ref, got):
-        np.testing.assert_array_equal(a, b, err_msg=f"field {name}")
+    # a single particle feels no pair forces. Compare LIVE slots only
+    # (tombstone payloads are don't-care: the old owner's vacated slot keeps
+    # stale bytes that differ between the paths). Velocities must match to
+    # f32 op-order ulps — a stale/garbage halo velocity at the pull would be
+    # off by orders of magnitude; positions tolerate the shape-dependent
+    # integration ulps the other sharded tests calibrate (16 fixed-point
+    # units ~ 7e-9 relative).
+    np.testing.assert_array_equal(ref.ty, got.ty)
+    live = np.asarray(ref.ty) >= 0
+    np.testing.assert_allclose(
+        ref.x[live].astype(np.int64), got.x[live].astype(np.int64),
+        rtol=0, atol=16)
+    np.testing.assert_allclose(
+        ref.y[live].astype(np.int64), got.y[live].astype(np.int64),
+        rtol=0, atol=16)
+    np.testing.assert_allclose(ref.vx[live], got.vx[live], rtol=1e-4, atol=0)
+    np.testing.assert_allclose(ref.vy[live], got.vy[live], rtol=1e-4, atol=0)
     # the particle survived and actually crossed into the right shard half
     live = np.asarray(got.ty).reshape(-1) >= 0
     assert live.sum() == 1
