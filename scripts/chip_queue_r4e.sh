@@ -48,6 +48,9 @@ else
 fi
 
 run hlo   3600 python scripts/hlo_probe.py
+# hardware numerics incl. test_sharded_frame_compiled_on_hardware — the
+# on-chip bit-identity guard for the position-only halo refresh
+run hw    3600 env PS_TPU_TEST_PLATFORM=axon,cpu python -m pytest tests/test_tpu_hw.py -q
 run head5 1800 python bench.py
 
 note "queue E done"
