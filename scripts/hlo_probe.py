@@ -1,8 +1,15 @@
 """Dump copy/DUS structure of the compiled sharded user-grid frame program."""
+import os
 import re
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
+
+# honor JAX_PLATFORMS before any device probe (see move_decomp.py)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
 from particle_simulator_tpu.engine.simulator import GridConfig, SimParams
 from particle_simulator_tpu.engine.state import empty_state
