@@ -1035,7 +1035,7 @@ def _place_kernel(
     vym_ref, vy_ref, vyp_ref,
     idm_ref, id_ref, idp_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
-    *, ty_rows: int, by: int, cap: int,
+    *, ty_rows: int, by: int, cap: int, n_chunks: int = 1, pad: int = 0,
 ):
     """Rebucket placement: each output slot pulls the (unique) candidate in
     its 3x3 neighborhood whose precomputed destination is this slot. Same
@@ -1050,25 +1050,47 @@ def _place_kernel(
     <=1-bucket move can pull from). A dead neighborhood can't match any
     output slot, so the all-tombstone init below IS the exact result and
     every pull pass is skipped — the move-pass analog of the step kernel's
-    dead-block skip, for spatially sparse scenes."""
+    dead-block skip, for spatially sparse scenes.
+
+    ``n_chunks`` > 1 adds the step kernel's COLUMN skip: the lane axis is
+    split into chunks (second pallas grid dim), inputs arrive pre-extended
+    with ``pad`` lanes each side (every candidate a <=1-bucket-x move can
+    place in this chunk; pad >= 2*cap-1 also means no roll ever wraps), and
+    a chunk with a dead source neighborhood skips its pull passes. Matching
+    stays by VALUE (global slot id), so the pass set per output slot — and
+    the output — is bit-identical to the unchunked kernel."""
     p_id = pl.program_id(0)
-    L = x_ref.shape[1]
+    We = x_ref.shape[1]  # chunk window incl. pads (= full row when unchunked)
+    W = We - 2 * pad  # output chunk width
+    L = n_chunks * W  # true flat row width (= the destid lane modulus)
+    if n_chunks == 1:
+        c_id = jnp.int32(0)
+        flag = flags_ref[p_id]
+    else:
+        c_id = pl.program_id(1).astype(jnp.int32)
+        flag = flags_ref[p_id * n_chunks + pl.program_id(1)]
 
     # start from an all-tombstone layout; accumulate THROUGH the output refs
     # (value-carried accumulators keep hundreds of pass intermediates live and
     # blow the VMEM stack)
-    ox_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
-    oy_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
-    ovx_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
-    ovy_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
-    oty_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
+    ox_ref[:] = jnp.zeros((ty_rows, W), jnp.uint32)
+    oy_ref[:] = jnp.zeros((ty_rows, W), jnp.uint32)
+    ovx_ref[:] = jnp.zeros((ty_rows, W), jnp.float32)
+    ovy_ref[:] = jnp.zeros((ty_rows, W), jnp.float32)
+    oty_ref[:] = jnp.full((ty_rows, W), -1, jnp.int32)
 
-    @pl.when(flags_ref[p_id] != 0)
+    @pl.when(flag != 0)
     def _live_block():
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, W), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, W), 1)
         my_by = p_id.astype(jnp.int32) * ty_rows + row_iota  # global bucket row
-        my_id = my_by * L + lane  # global flat slot id (C-order, = dest encoding)
+        # global flat slot id (C-order, = dest encoding). The unchunked form
+        # omits the chunk-offset term so its trace — and compile-cache key —
+        # stays byte-identical to the pre-lane-chunk kernel.
+        if n_chunks == 1:
+            my_id = my_by * L + lane
+        else:
+            my_id = my_by * L + c_id * W + lane
 
         def above(a_m, a):
             return jnp.concatenate([a_m[ty_rows - 1 :], a[: ty_rows - 1]], axis=0)
@@ -1101,6 +1123,11 @@ def _place_kernel(
             )
             for t in range(-(2 * cap - 1), 2 * cap):
                 rolled = _roll_lanes(stacked, t)
+                if pad:
+                    # center window: the chunk's own W lanes. pad >= 2*cap-1
+                    # >= |t|, so every candidate reaching these lanes is in
+                    # the window and no roll wrapped across it
+                    rolled = rolled[:, pad : pad + W]
                 jx = rolled[:ty_rows]
                 jy = rolled[ty_rows : 2 * ty_rows]
                 jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
@@ -1117,11 +1144,21 @@ def _place_kernel(
                 oty_ref[:] = jnp.where(match, jty, oty_ref[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> ParticleState:
+@functools.partial(jax.jit, static_argnames=("interpret", "lane_chunks"))
+def bucket_move_pallas(
+    state: ParticleState, interpret: bool = False, lane_chunks: int = 1
+) -> ParticleState:
     """Rebucketing pass, fully on-chip: destinations computed directly
     (physics.bucket.move_dest_direct, no sort) and placed by the pull-place
-    kernel (no XLA scatter). Bit-identical to bucket_move."""
+    kernel (no XLA scatter). Bit-identical to bucket_move.
+
+    ``lane_chunks`` = C > 1 brings the step kernel's column skip to the
+    move: the lane axis becomes a second pallas grid dimension, inputs are
+    pre-extended with pad lanes each side (every cross-chunk candidate a
+    <=1-bucket move can place here), and a chunk whose source neighborhood
+    is dead skips all (2*(2*cap)-1)*3 pull passes. Output bit-identical to
+    the unchunked kernel (tests/test_pallas.py); only worth it on spatially
+    sparse scenes — the caller passes the same C the step kernel uses."""
     from particle_simulator_tpu.physics.bucket import move_dest_direct
 
     by, bx, cap = state.x.shape
@@ -1129,6 +1166,16 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
     ty_rows = _pick_ty_rows(by, L)
     n_blocks = by // ty_rows
     n = by * bx * cap
+
+    C = int(lane_chunks)
+    if C > 1 and (bx % C or (L // C) % 128):
+        raise ValueError(
+            f"lane_chunks={C} must divide bx={bx} with a 128-multiple chunk "
+            f"width (got {L // C})"
+        )
+    W = L // C
+    pad = 0 if C == 1 else max(128, 2 * cap)
+    We = W + 2 * pad
 
     dest, keep = move_dest_direct(state)
     # packed destination slot id per source slot; -1 = dropped/dead (never
@@ -1138,33 +1185,90 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
     def flat(a):
         return a.reshape(by, L)
 
+    def ext(a2d, fill):
+        # chunk c's slice holds true lanes [c*W - pad, c*W + W + pad) with
+        # ``fill`` past the grid ends (same layout as bucket_step_pallas)
+        if C == 1:
+            return a2d
+        p = jnp.full((a2d.shape[0], pad), fill, a2d.dtype)
+        padded = jnp.concatenate([p, a2d, p], axis=1)
+        return jnp.concatenate(
+            [padded[:, c * W : c * W + We] for c in range(C)], axis=1
+        )
+
     # per-block SOURCE liveness: the block's own rows plus the one adjacent
     # row each side (all a <=1-bucket move can pull from). Dead neighborhood
     # -> the kernel's tombstone init is the exact result (_place_kernel)
-    live_row = (flat(state.ty) >= 0).any(axis=1).reshape(n_blocks, ty_rows)
-    blk_any = live_row.any(axis=1)
-    false1 = jnp.zeros((1,), bool)
-    prev_last = jnp.concatenate([false1, live_row[:-1, -1]])
-    next_first = jnp.concatenate([live_row[1:, 0], false1])
-    flags = (blk_any | prev_last | next_first).astype(jnp.int32)
+    if C == 1:
+        live_row = (flat(state.ty) >= 0).any(axis=1).reshape(n_blocks, ty_rows)
+        blk_any = live_row.any(axis=1)
+        false1 = jnp.zeros((1,), bool)
+        prev_last = jnp.concatenate([false1, live_row[:-1, -1]])
+        next_first = jnp.concatenate([live_row[1:, 0], false1])
+        flags = (blk_any | prev_last | next_first).astype(jnp.int32)
+    else:
+        # per-(block, chunk): any live source in the chunk's ext lane window
+        # (pads included — cross-chunk pulls) over the block rows +- 1 row
+        live_rc = (
+            (ext(flat(state.ty), -1).reshape(by, C, We) >= 0)
+            .any(axis=2)
+            .reshape(n_blocks, ty_rows, C)
+        )
+        blk_any = live_rc.any(axis=1)
+        false1 = jnp.zeros((1, C), bool)
+        prev_last = jnp.concatenate([false1, live_rc[:-1, -1]], axis=0)
+        next_first = jnp.concatenate([live_rc[1:, 0], false1], axis=0)
+        flags = (blk_any | prev_last | next_first).astype(jnp.int32).reshape(-1)
 
-    def spec(offset):
-        if offset == 0:
-            return pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-        if offset < 0:
+    if C == 1:
+        grid = (n_blocks,)
+
+        def spec(offset):
+            if offset == 0:
+                return pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+            if offset < 0:
+                return pl.BlockSpec(
+                    (ty_rows, L), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+                )
             return pl.BlockSpec(
-                (ty_rows, L), lambda i: (jnp.maximum(i - 1, 0), 0), memory_space=pltpu.VMEM
+                (ty_rows, L), lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0), memory_space=pltpu.VMEM
             )
-        return pl.BlockSpec(
-            (ty_rows, L), lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0), memory_space=pltpu.VMEM
+
+        out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    else:
+        grid = (n_blocks, C)
+
+        def spec(offset):
+            if offset == 0:
+                return pl.BlockSpec(
+                    (ty_rows, We), lambda i, c: (i, c), memory_space=pltpu.VMEM
+                )
+            if offset < 0:
+                return pl.BlockSpec(
+                    (ty_rows, We),
+                    lambda i, c: (jnp.maximum(i - 1, 0), c),
+                    memory_space=pltpu.VMEM,
+                )
+            return pl.BlockSpec(
+                (ty_rows, We),
+                lambda i, c: (jnp.minimum(i + 1, n_blocks - 1), c),
+                memory_space=pltpu.VMEM,
+            )
+
+        out_spec = pl.BlockSpec(
+            (ty_rows, W), lambda i, c: (i, c), memory_space=pltpu.VMEM
         )
 
-    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_place_kernel, ty_rows=ty_rows, by=by, cap=cap)
-    triplet = lambda a: (flat(a), flat(a), flat(a))
+    kernel = functools.partial(
+        _place_kernel, ty_rows=ty_rows, by=by, cap=cap, n_chunks=C, pad=pad
+    )
+
+    def triplet(a, fill=0):
+        e = ext(flat(a), fill)
+        return (e, e, e)
     nx, ny, nvx, nvy, nty = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [spec(o) for _ in range(6) for o in (-1, 0, +1)],
         out_specs=[out_spec] * 5,
@@ -1182,8 +1286,8 @@ def bucket_move_pallas(state: ParticleState, interpret: bool = False) -> Particl
         interpret=interpret,
     )(
         flags,
-        *triplet(state.x), *triplet(state.y), *triplet(state.ty),
-        *triplet(state.vx), *triplet(state.vy), *triplet(destid),
+        *triplet(state.x), *triplet(state.y), *triplet(state.ty, -1),
+        *triplet(state.vx, 0.0), *triplet(state.vy, 0.0), *triplet(destid, -1),
     )
 
     shape = state.x.shape
@@ -1411,7 +1515,10 @@ def run_frame_bucket_pallas(
         ext_io = False
 
     def move(s):
-        return bucket_move_pallas(s, interpret=interpret)
+        # same column skip as the step kernel (bit-identical to unchunked;
+        # the r3 userscene decomposition put the unchunked move at ~24.9 ms
+        # live vs ~9 ms vacuum floor on the 22%-occupancy 1M user grid)
+        return bucket_move_pallas(s, interpret=interpret, lane_chunks=lane_chunks)
 
     from particle_simulator_tpu.physics.bucket import chunked_frame_schedule
 

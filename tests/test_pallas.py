@@ -147,6 +147,68 @@ def test_pallas_move_matches_pull():
         np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
 
 
+@pytest.mark.parametrize(
+    "cfg,chunks",
+    [
+        (GridConfig(5, 4, 8), 2),   # 32x16 cap-8: W = 128
+        (GridConfig(4, 4, 16), 2),  # 16x16 cap-16: W = 128, pad = 128
+    ],
+)
+def test_pallas_move_lane_chunked_bit_identical(cfg, chunks):
+    """The lane-chunked move (column skip for sparse scenes) is bit-identical
+    to the unchunked pull-place kernel and to bucket_move — including
+    cross-chunk x-migrations, overflow drops, and drift drops."""
+    from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas
+    from particle_simulator_tpu.physics.bucket import bucket_move
+
+    # hot lattice: plenty of x- and y-crossings (incl. across the chunk seam)
+    state, p = scene(cfg, nx=20, ny=20, vel=(500.0, 400.0), seed=7)
+    for _ in range(30):
+        state = jax.jit(bucket_step)(state, p)
+
+    a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+    b = jax.tree.map(
+        np.asarray, bucket_move_pallas(state, interpret=True, lane_chunks=chunks)
+    )
+    for name, u, v in zip(a._fields, a, b):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
+
+
+def test_pallas_move_lane_chunked_sparse_corner():
+    """A scene confined to one corner: most chunks are vacuum (the skip path)
+    and the all-tombstone init must be their exact result; the live chunk and
+    its seam neighbors still place every particle."""
+    from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas
+    from particle_simulator_tpu.physics.bucket import bucket_move
+
+    cfg = GridConfig(5, 4, 8)
+    frame = Frame.new()
+    meta = frame.metadata
+    lat = ParticleLattice((6, 6), distance_factor=1.1, velocity=(900.0, -700.0))
+    # bottom-left corner of the box -> a single live lane chunk out of 2
+    lat.hex_square(
+        frame,
+        (meta.box_width / 8, meta.box_height / 8),
+        rng=np.random.default_rng(11),
+    )
+    layout = bucketize_numpy(frame.particles, cfg)
+    state = state_to_grid(state_from_numpy(layout, cfg.capacity), cfg)
+    p = SimParams.from_record(meta.copy())
+    for _ in range(20):
+        state = jax.jit(bucket_step)(state, p)
+
+    a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+    b = jax.tree.map(
+        np.asarray, bucket_move_pallas(state, interpret=True, lane_chunks=2)
+    )
+    for name, u, v in zip(a._fields, a, b):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
+    # the hot corner lattice drops some particles (drift semantics) but the
+    # chunked kernel must still place the survivors the pull pass keeps
+    live = (np.asarray(b.ty) >= 0).sum()
+    assert live > 0 and live == (np.asarray(a.ty) >= 0).sum()
+
+
 def test_move_dest_direct_matches_pull():
     """Direct destination computation (no sort/scan) reproduces the pull
     order exactly (via the scatter-based bucket_move_direct)."""
