@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--side", type=int, default=1024, help="lattice side (particles = side^2)")
     ap.add_argument("--grid-log2", type=int, default=10, help="bucket grid log2 per axis")
     ap.add_argument("--interpret", action="store_true", help="CPU smoke (interpret-mode kernel)")
+    ap.add_argument("--lane-chunks", type=int, default=1,
+                    help="column-skip chunks for the pull-place kernel (must "
+                         "divide bx with a 128-multiple chunk width)")
     args = ap.parse_args()
 
     cfg = GridConfig(args.grid_log2, args.grid_log2, args.cap)  # default: the 1M user grid
@@ -84,7 +87,10 @@ def main():
     dead = jax.device_put(empty_state(cfg.grid_shape))
 
     dest_fn = jax.jit(move_dest_direct)
-    move_fn = functools.partial(bucket_move_pallas, interpret=args.interpret)
+    move_fn = functools.partial(
+        bucket_move_pallas, interpret=args.interpret,
+        lane_chunks=args.lane_chunks,
+    )
 
     results = {}
     for name, st in (("live", live), ("dead", dead)):
@@ -101,6 +107,7 @@ def main():
         "metric": "move-pass-decomposition",
         "grid": list(cfg.grid_shape),
         "live_particles": n_live,
+        "lane_chunks": args.lane_chunks,
         **results,
         "device": jax.devices()[0].platform,
     }))

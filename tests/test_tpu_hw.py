@@ -86,6 +86,26 @@ def test_compiled_move_bit_identical_on_hardware():
         np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
 
 
+def test_compiled_move_lane_chunked_bit_identical_on_hardware():
+    """The lane-chunked (column-skip) rebucket kernel compiled by Mosaic
+    matches bucket_move bit-for-bit — including cross-chunk x-migrations and
+    drop semantics (the CPU suite proves this in interpret mode only)."""
+    from particle_simulator_tpu.ops.bucket_pallas import bucket_move_pallas
+    from particle_simulator_tpu.physics.bucket import bucket_move
+
+    cfg = GridConfig(5, 4, 8)  # 32x16 grid: chunk width 128 at C=2
+    state, p = scene(cfg, vel=(500.0, 400.0), seed=7)
+    for _ in range(20):
+        state = jax.jit(bucket_step)(state, p)
+    a = jax.tree.map(np.asarray, jax.jit(bucket_move)(state))
+    b = jax.tree.map(
+        np.asarray,
+        bucket_move_pallas(jax.device_put(state, tpu), lane_chunks=2),
+    )
+    for name, u, v in zip(a._fields, a, b):
+        np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
+
+
 def test_compiled_frame_runner_envelope_on_hardware():
     from particle_simulator_tpu.ops.bucket_pallas import run_frame_bucket_pallas
 
