@@ -1301,7 +1301,7 @@ def _place_edge_kernel(
     flags_ref,
     x_ref, y_ref, ty_ref, vx_ref, vy_ref, id_ref, halo_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
-    *, ty_rows: int, cap: int,
+    *, ty_rows: int, cap: int, n_chunks: int = 1, pad: int = 0, true_l: int = 0,
 ):
     """_place_kernel variant for the sharded path: the rows above/below each
     block arrive in ONE packed halo block (12 of 16 sublanes used) instead of
@@ -1312,21 +1312,43 @@ def _place_edge_kernel(
 
     ``flags_ref[p]``: any KEPT candidate (destid >= 0) among the block's
     source rows, halo rows included — a dead neighborhood skips every pull
-    pass (the single-chip _place_kernel's dead-block skip, sharded form)."""
+    pass (the single-chip _place_kernel's dead-block skip, sharded form).
+
+    ``n_chunks`` > 1 is the column skip. A shard's lane count L = (lx+2)*cap
+    is rarely chunk-divisible, so inputs arrive in the ROUNDED layout:
+    ``true_l`` real lanes + tombstone lanes appended to n_chunks * W' (W' a
+    128 multiple), then pad-extended per chunk. Output ids for appended
+    lanes would collide with the next row's real ids (row*L + L ==
+    (row+1)*L), so they are masked to -2 — destid is always >= -1."""
     p_id = pl.program_id(0)
-    L = x_ref.shape[1]
+    We = x_ref.shape[1]
+    W = We - 2 * pad  # output chunk width (= full row when unchunked)
 
-    ox_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
-    oy_ref[:] = jnp.zeros((ty_rows, L), jnp.uint32)
-    ovx_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
-    ovy_ref[:] = jnp.zeros((ty_rows, L), jnp.float32)
-    oty_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
+    ox_ref[:] = jnp.zeros((ty_rows, W), jnp.uint32)
+    oy_ref[:] = jnp.zeros((ty_rows, W), jnp.uint32)
+    ovx_ref[:] = jnp.zeros((ty_rows, W), jnp.float32)
+    ovy_ref[:] = jnp.zeros((ty_rows, W), jnp.float32)
+    oty_ref[:] = jnp.full((ty_rows, W), -1, jnp.int32)
 
-    @pl.when(flags_ref[p_id] != 0)
+    if n_chunks == 1:
+        c_id = None
+        flag = flags_ref[p_id]
+    else:
+        c_id = pl.program_id(1)  # hoisted: program_id can't trace inside when
+        flag = flags_ref[p_id * n_chunks + c_id]
+
+    @pl.when(flag != 0)
     def _live_block():
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 0)
-        lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, L), 1)
-        my_id = (p_id.astype(jnp.int32) * ty_rows + row_iota) * L + lane
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, W), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (ty_rows, W), 1)
+        my_row = p_id.astype(jnp.int32) * ty_rows + row_iota
+        if n_chunks == 1:
+            L = W
+            my_id = my_row * L + lane
+        else:
+            L = true_l
+            q = c_id.astype(jnp.int32) * W + lane
+            my_id = jnp.where(q < L, my_row * L + q, -2)
 
         halo = halo_ref[:]
         above_f = tuple(halo[i : i + 1] for i in range(6))
@@ -1356,6 +1378,10 @@ def _place_edge_kernel(
             stacked = jnp.concatenate(fields, axis=0)
             for t in range(-(2 * cap - 1), 2 * cap):
                 rolled = _roll_lanes(stacked, t)
+                if pad:
+                    # center window; pad >= 2*cap-1 >= |t| means every
+                    # candidate reaching it is in-window, no roll wrapped
+                    rolled = rolled[:, pad : pad + W]
                 jx = rolled[:ty_rows]
                 jy = rolled[ty_rows : 2 * ty_rows]
                 jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
@@ -1372,7 +1398,7 @@ def _place_edge_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("bx_log2", "by_log2", "interpret")
+    jax.jit, static_argnames=("bx_log2", "by_log2", "interpret", "lane_chunks")
 )
 def bucket_move_pallas_halo(
     padded: ParticleState,
@@ -1381,6 +1407,7 @@ def bucket_move_pallas_halo(
     row_offset,
     col_offset,
     interpret: bool = False,
+    lane_chunks: int = 1,
 ) -> ParticleState:
     """Shard-local rebucketing/migration, fully on-chip: ranks from
     physics.bucket.move_ranks_direct_halo (no sort) + the pull-place kernel
@@ -1391,7 +1418,15 @@ def bucket_move_pallas_halo(
     sharded step kernel (parallel/domain.py), the x-halo columns join the
     lane axis and the y-halo rows ride the packed per-block halo input, so
     the local grid keeps its row blocking. Output is the (ly, lx, cap)
-    interior."""
+    interior.
+
+    ``lane_chunks`` = C > 1 adds the column skip without any layout
+    negotiation with the caller: the shard lane count L = (lx+2)*cap is
+    rarely chunk-divisible, so lanes are ROUNDED — tombstone lanes appended
+    up to C * W' (W' the smallest 128 multiple >= L/C) — then pad-extended
+    per chunk exactly like bucket_move_pallas. Matching is by value and the
+    appended lanes carry destid -1 / masked output ids, so the result is
+    bit-identical to the unchunked kernel for ANY (lx, cap)."""
     from particle_simulator_tpu.physics.bucket import move_ranks_direct_halo
 
     py, px, cap = padded.x.shape
@@ -1399,6 +1434,15 @@ def bucket_move_pallas_halo(
     L = px * cap
     ty_rows = _pick_ty_rows(ly, L)
     n_blocks = ly // ty_rows
+
+    C = int(lane_chunks)
+    if C == 1:
+        Wp, pad = L, 0
+    else:
+        Wp = -(-L // (C * 128)) * 128  # ceil(L/C) rounded up to a lane tile
+        pad = max(128, 2 * cap)
+    Lp = C * Wp  # rounded lane count (tombstone lanes appended past L)
+    We = Wp + 2 * pad
 
     tgt_by, tgt_bx, rank, keep = move_ranks_direct_halo(
         padded, bx_log2, by_log2, row_offset, col_offset
@@ -1413,47 +1457,87 @@ def bucket_move_pallas_halo(
     def rows2d(a):
         return a.reshape(py, L)
 
+    def ext(a2d, fill):
+        # round the lane axis to Lp with fill, then window per chunk: chunk
+        # c's slice holds rounded lanes [c*Wp - pad, c*Wp + Wp + pad)
+        if C == 1:
+            return a2d
+        rows = a2d.shape[0]
+        a2d = jnp.concatenate(
+            [a2d, jnp.full((rows, Lp - L), fill, a2d.dtype)], axis=1
+        ) if Lp > L else a2d
+        p = jnp.full((rows, pad), fill, a2d.dtype)
+        padded2 = jnp.concatenate([p, a2d, p], axis=1)
+        return jnp.concatenate(
+            [padded2[:, c * Wp : c * Wp + We] for c in range(C)], axis=1
+        )
+
+    dead_u32 = jnp.uint32(0xFFFFFFFF)  # bitcast(-1): tombstone ty / destid
     fields = (
-        rows2d(padded.x),
-        rows2d(padded.y),
-        rows2d(jax.lax.bitcast_convert_type(padded.ty, jnp.uint32)),
-        rows2d(jax.lax.bitcast_convert_type(padded.vx, jnp.uint32)),
-        rows2d(jax.lax.bitcast_convert_type(padded.vy, jnp.uint32)),
-        rows2d(jax.lax.bitcast_convert_type(destid, jnp.uint32)),
+        ext(rows2d(padded.x), 0),
+        ext(rows2d(padded.y), 0),
+        ext(rows2d(jax.lax.bitcast_convert_type(padded.ty, jnp.uint32)), dead_u32),
+        ext(rows2d(jax.lax.bitcast_convert_type(padded.vx, jnp.uint32)), 0),
+        ext(rows2d(jax.lax.bitcast_convert_type(padded.vy, jnp.uint32)), 0),
+        ext(rows2d(jax.lax.bitcast_convert_type(destid, jnp.uint32)), dead_u32),
     )
-    mains = tuple(f[1:-1] for f in fields)  # interior rows (ly, L)
+    CW = fields[0].shape[1]  # C * We (= L when unchunked)
+    mains = tuple(f[1:-1] for f in fields)  # interior rows (ly, CW)
     # packed per-block halo: block i's candidate rows above (= padded row
     # i*ty_rows) and below (= padded row (i+1)*ty_rows + 1), 6 fields each,
     # padded to 16 sublanes (Mosaic blocks want multiples of 8)
     above = jnp.stack([f[0:py - 2 : ty_rows] for f in fields], axis=1)
     below = jnp.stack([f[ty_rows + 1 :: ty_rows] for f in fields], axis=1)
-    zero4 = jnp.zeros((n_blocks, 4, L), jnp.uint32)
-    halo = jnp.concatenate([above, below, zero4], axis=1).reshape(n_blocks * 16, L)
+    zero4 = jnp.zeros((n_blocks, 4, CW), jnp.uint32)
+    halo = jnp.concatenate([above, below, zero4], axis=1).reshape(n_blocks * 16, CW)
 
     # per-block source liveness over padded rows [i*ty_rows, i*ty_rows +
     # ty_rows + 2): any KEPT candidate (destid >= 0; tombstones and halo
     # fill carry -1) — see _place_edge_kernel's dead-neighborhood skip
-    src_live = (destid.reshape(py, L) >= 0).any(axis=1)
-    win = jnp.arange(n_blocks)[:, None] * ty_rows + jnp.arange(ty_rows + 2)[None, :]
-    flags = src_live[win].any(axis=1).astype(jnp.int32)
+    if C == 1:
+        src_live = (destid.reshape(py, L) >= 0).any(axis=1)
+        win = jnp.arange(n_blocks)[:, None] * ty_rows + jnp.arange(ty_rows + 2)[None, :]
+        flags = src_live[win].any(axis=1).astype(jnp.int32)
+    else:
+        # (py, C): kept candidate anywhere in the chunk's ext lane window
+        src_rc = (
+            jax.lax.bitcast_convert_type(fields[5], jnp.int32)
+            .reshape(py, C, We) >= 0
+        ).any(axis=2)
+        win = jnp.arange(n_blocks)[:, None] * ty_rows + jnp.arange(ty_rows + 2)[None, :]
+        flags = src_rc[win].any(axis=1).astype(jnp.int32).reshape(-1)
 
-    spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    halo_spec = pl.BlockSpec((16, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
-    kernel = functools.partial(_place_edge_kernel, ty_rows=ty_rows, cap=cap)
+    if C == 1:
+        grid = (n_blocks,)
+        spec = lambda: pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        halo_spec = pl.BlockSpec((16, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((ty_rows, L), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    else:
+        grid = (n_blocks, C)
+        spec = lambda: pl.BlockSpec(
+            (ty_rows, We), lambda i, c: (i, c), memory_space=pltpu.VMEM
+        )
+        halo_spec = pl.BlockSpec((16, We), lambda i, c: (i, c), memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec(
+            (ty_rows, Wp), lambda i, c: (i, c), memory_space=pltpu.VMEM
+        )
+    kernel = functools.partial(
+        _place_edge_kernel, ty_rows=ty_rows, cap=cap, n_chunks=C, pad=pad,
+        true_l=L,
+    )
     nx, ny, nvx, nvy, nty = pl.pallas_call(
         kernel,
-        grid=(n_blocks,),
+        grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
         + [spec() for _ in range(6)]
         + [halo_spec],
         out_specs=[out_spec] * 5,
         out_shape=[
-            jax.ShapeDtypeStruct((ly, L), jnp.uint32),
-            jax.ShapeDtypeStruct((ly, L), jnp.uint32),
-            jax.ShapeDtypeStruct((ly, L), jnp.float32),
-            jax.ShapeDtypeStruct((ly, L), jnp.float32),
-            jax.ShapeDtypeStruct((ly, L), jnp.int32),
+            jax.ShapeDtypeStruct((ly, Lp), jnp.uint32),
+            jax.ShapeDtypeStruct((ly, Lp), jnp.uint32),
+            jax.ShapeDtypeStruct((ly, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((ly, Lp), jnp.float32),
+            jax.ShapeDtypeStruct((ly, Lp), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
@@ -1468,8 +1552,10 @@ def bucket_move_pallas_halo(
         halo,
     )
 
-    # slice the x-halo columns back off the lane axis
+    # drop the appended rounding lanes, then the x-halo columns
     def interior(a):
+        if C > 1:
+            a = a[:, :L]
         return a.reshape(ly, px, cap)[:, 1:-1]
 
     return ParticleState(

@@ -414,6 +414,10 @@ def _local_frame(
             moved = bucket_move_pallas_halo(
                 halo, cfg.bx_log2, cfg.by_log2,
                 row_offset, col_offset, interpret=interpret,
+                # the move kernel rounds its own lane axis (tombstone lanes
+                # appended to a 128-multiple chunk width), so the step's
+                # resolved C carries over without any xpad negotiation
+                lane_chunks=C,
             )
             return pad_x_state(moved, nx, xpad=xpad)
 

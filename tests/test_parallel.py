@@ -279,7 +279,7 @@ def test_sharded_pallas_kernel_matches_single_device():
 
 
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
-@pytest.mark.parametrize("impl", ["direct", "pallas"])
+@pytest.mark.parametrize("impl", ["direct", "pallas", "pallas-chunked"])
 def test_sharded_move_pass_bit_identical(n_devices, impl):
     """One isolated migration pass: the shard-aware direct move (and its
     pallas place variant) over a mesh must be BIT-identical to the
@@ -331,14 +331,18 @@ def test_sharded_move_pass_bit_identical(n_devices, impl):
         row_offset = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * ly
         col_offset = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * lx
         padded = exchange_halo(s, ny, nx)
-        if impl == "pallas":
+        if impl.startswith("pallas"):
             from particle_simulator_tpu.ops.bucket_pallas import (
                 bucket_move_pallas_halo,
             )
 
+            # "pallas-chunked": the column skip's rounded lane layout —
+            # (lx+2)*cap is never chunk-divisible at these shard sizes, so
+            # this exercises the appended-tombstone-lane path end to end
             return bucket_move_pallas_halo(
                 padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset,
                 interpret=True,
+                lane_chunks=2 if impl == "pallas-chunked" else 1,
             )
         return bucket_move_direct_halo(
             padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset
@@ -478,7 +482,7 @@ def test_multihost_daemon_editor_end_to_end():
             assert "sharding over a (2, 2) device mesh" in err
 
 
-@pytest.mark.parametrize("impl", ["direct", "pallas"])
+@pytest.mark.parametrize("impl", ["direct", "pallas", "pallas-chunked"])
 def test_sharded_move_pass_sparse_scene_bit_identical(impl):
     """The sharded move's dead-neighborhood skip (_place_edge_kernel flags):
     a scene confined to one corner leaves whole shards (and blocks within
@@ -524,14 +528,18 @@ def test_sharded_move_pass_sparse_scene_bit_identical(impl):
         row_offset = jax.lax.axis_index(AXIS_Y).astype(jnp.int32) * ly
         col_offset = jax.lax.axis_index(AXIS_X).astype(jnp.int32) * lx
         padded = exchange_halo(s, ny, nx)
-        if impl == "pallas":
+        if impl.startswith("pallas"):
             from particle_simulator_tpu.ops.bucket_pallas import (
                 bucket_move_pallas_halo,
             )
 
+            # "pallas-chunked": the column skip's rounded lane layout —
+            # (lx+2)*cap is never chunk-divisible at these shard sizes, so
+            # this exercises the appended-tombstone-lane path end to end
             return bucket_move_pallas_halo(
                 padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset,
                 interpret=True,
+                lane_chunks=2 if impl == "pallas-chunked" else 1,
             )
         return bucket_move_direct_halo(
             padded, cfg.bx_log2, cfg.by_log2, row_offset, col_offset
