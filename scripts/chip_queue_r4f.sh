@@ -37,21 +37,24 @@ run() {  # run <name> <timeout_s> <cmd...>
     fi
 }
 
-run hw_move 2400 env PS_TPU_TEST_PLATFORM=axon,cpu python -m pytest tests/test_tpu_hw.py -q -k move
+# FULL hw suite (queue E's run caught the working tree mid-edit and is
+# void): numerics guards for both chunked moves + the sharded program
+run hw 3600 env PS_TPU_TEST_PLATFORM=axon,cpu python -m pytest tests/test_tpu_hw.py -q
 run user_new 3600 python bench.py --user-scene --frames 60
+run shard_new 3600 python bench.py --user-scene --sharded --frames 60
 
 OLD=$(git rev-parse dc06501^ 2>/dev/null || git rev-parse HEAD~1)
 git worktree add -f /tmp/wt_movechunk "$OLD" >/dev/null 2>&1 || true
 if [ -d /tmp/wt_movechunk ]; then
     note "control worktree at $OLD"
     (cd /tmp/wt_movechunk && run user_old 3600 python bench.py --user-scene --frames 60)
+    (cd /tmp/wt_movechunk && run shard_old 3600 python bench.py --user-scene --sharded --frames 60)
     git worktree remove --force /tmp/wt_movechunk >/dev/null 2>&1 || true
 else
     note "FAIL user_old: could not create worktree"
 fi
 
 run mdec_c8 3600 python scripts/move_decomp.py --lane-chunks 8
-run mdec_c1 1800 python scripts/move_decomp.py
 run head 1800 python bench.py
 
 note "queue F done"
