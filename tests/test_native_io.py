@@ -7,6 +7,7 @@ check each other byte for byte).
 """
 
 import ctypes
+import shutil
 import threading
 import time
 
@@ -18,7 +19,23 @@ from particle_simulator_tpu.io.frame import Frame, default_metadata
 from particle_simulator_tpu.io.presets import ParticleLattice
 from particle_simulator_tpu.io.transport import new_tcp_server
 
-pytestmark = pytest.mark.skipif(not native.available(), reason="native lib unavailable")
+# Skipping is legitimate ONLY when there is no C++ toolchain to build the lib
+# with AND no prebuilt .so; with a toolchain on PATH the lib must auto-build
+# (io/native.py build()) and these tests must run — a silent module-wide skip
+# here would hide a build regression from CI (VERDICT r4 item 8).
+_TOOLCHAIN = shutil.which("g++") or shutil.which("c++") or shutil.which("cc")
+pytestmark = pytest.mark.skipif(
+    _TOOLCHAIN is None and not native.available(),
+    reason="native lib unavailable and no C++ toolchain to build it",
+)
+
+
+def test_native_lib_available():
+    """CI-visible guard that the cross-implementation suite actually ran: with
+    a toolchain present, native.build() must produce a loadable library."""
+    assert native.available(), (
+        f"native lib failed to build/load despite toolchain {_TOOLCHAIN!r}"
+    )
 
 
 def lattice_frame(n=6):
