@@ -567,6 +567,101 @@ def test_readback_pipeline_depths_ship_identical_streams():
     assert streams[0] == streams[2], "pipelining changed the shipped stream"
 
 
+def _scripted_stream(ship_thread: bool, depth: int) -> list[bytes]:
+    """Run main_loop over a deterministic scripted frontend and return the
+    wire byte stream. The script injects the two reorder hazards mid-stream:
+    a live metadata edit (poll 2) and a full scene reset (poll 4) — arrival
+    is keyed to the poll count, which is iteration-deterministic, so every
+    (ship_thread, depth) combination sees identical inputs."""
+
+    class ScriptedFrontend:
+        is_connected = True
+
+        def __init__(self):
+            self.polls = 0
+            self.sent = []  # wire order (worker thread appends under the GIL)
+
+        def read(self):
+            self.polls += 1
+            if self.polls == 2:
+                edit = Frame.new()
+                edit.metadata.steps_per_frame = 7
+                assert edit.particle_count == 0
+                return edit
+            if self.polls == 4:
+                return scene_frame(n=5, steps=3)
+            return None
+
+        def write(self, frame):
+            self.sent.append(frame.bytes)
+
+    frontend = ScriptedFrontend()
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.load_frame(scene_frame(n=6, steps=2))
+    shipped = main_loop(frontend, sim, max_frames=8, readback_depth=depth,
+                        ship_thread=ship_thread)
+    assert shipped == 8
+    assert len(frontend.sent) == 8
+    return frontend.sent
+
+
+def test_ship_worker_wire_stream_identical():
+    """main_loop's docstring claims the ship worker leaves the wire byte
+    stream IDENTICAL to inline shipping (engine/daemon.py: 'Single consumer,
+    FIFO queue'). A/B ship_thread True vs False at depths 0 and 2, across a
+    live metadata edit and a mid-stream scene reset — the two hazards where
+    a reordering worker would diverge (the reference's overlap never
+    reorders either, cuda_simulator.cu:7-26). VERDICT r4 item 4."""
+    streams = {
+        (ship, depth): _scripted_stream(ship, depth)
+        for ship in (False, True)
+        for depth in (0, 2)
+    }
+    for depth in (0, 2):
+        assert streams[(True, depth)] == streams[(False, depth)], (
+            f"ship worker changed the wire stream at depth {depth}")
+    # and depth itself must not reorder (pending flushes before a reset)
+    assert streams[(False, 0)] == streams[(False, 2)]
+
+
+def test_ship_worker_exception_downgrades_to_disconnect():
+    """A ship-worker crash (here: the TCP send raising) must mark the
+    frontend disconnected and let main_loop drain and return — never
+    deadlock on the bounded ship queue (engine/daemon.py:244-263)."""
+
+    class ExplodingFrontend:
+        is_connected = True
+
+        def __init__(self):
+            self.wrote = 0
+
+        def read(self):
+            return None
+
+        def write(self, frame):
+            self.wrote += 1
+            if self.wrote >= 3:
+                raise OSError("simulated broken pipe")
+
+    frontend = ExplodingFrontend()
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.load_frame(scene_frame(n=6, steps=2))
+
+    result = {}
+
+    def run():
+        result["shipped"] = main_loop(
+            frontend, sim, max_frames=32, readback_depth=1, ship_thread=True)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=120)
+    assert not t.is_alive(), "main_loop deadlocked after a ship-worker crash"
+    assert frontend.is_connected is False
+    # frames 1..2 hit the wire; the crashing 3rd (and later) never count
+    assert result["shipped"] == 2
+
+
 def test_compilation_cache_persists_executables(tmp_path):
     """VERDICT r2 item 6: the persistent jax compilation cache writes
     serialized executables so daemon restarts skip recompiles. Uses a
