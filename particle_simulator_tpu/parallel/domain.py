@@ -30,6 +30,7 @@ Single-device semantics are preserved exactly: tests check a sharded run on an
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -215,6 +216,7 @@ def pad_x_state(state: ParticleState, nx: int, xpad: int = 1) -> ParticleState:
 def refresh_x_cols(
     sp: ParticleState, nx: int, xpad: int = 1,
     fields: tuple[int, ...] = _ALL_FIELDS,
+    form: str | None = None,
 ) -> ParticleState:
     """Refresh the halo columns of an x-padded (ly, lx+2*xpad, cap) grid in
     place: ship the two INTERIOR edge columns (xpad and lx+xpad-1) to the
@@ -227,7 +229,27 @@ def refresh_x_cols(
     through untouched. The sharded step refreshes ``_POS_FIELDS`` only (the
     force pass never reads a halo particle's velocity) and tops up
     ``_VEL_FIELDS`` once per move cadence — 6 instead of 10 halo-column
-    collectives+writes per step."""
+    collectives+writes per step.
+
+    ``form`` picks the write op (default: env PS_SHARD_REFRESH or "select"):
+    - "dus": two dynamic-update-slices per field. The r4 HLO census
+      (BASELINE.md) attributed the bulk of the sharded program's per-step
+      data movement to these — a DUS whose operand is a pallas-call output
+      cannot fuse, so each refresh materializes a full-grid copy.
+    - "select": one elementwise broadcast+where per field. Values are
+      identical (the mask writes exactly the two halo columns); being
+      elementwise, the refresh can ride the NEXT step's pallas input fusion
+      (allow_input_fusion already covers the ext()/halo producers) instead
+      of materializing in HBM."""
+    if form is None:
+        form = os.environ.get("PS_SHARD_REFRESH", "select")
+    w = sp.x.shape[1]
+    if form == "select":
+        # (1, w, 1) lane masks for the two halo columns, broadcast over
+        # rows and slots; computed once per call, shared by all fields
+        col = jnp.arange(w, dtype=jnp.int32)[None, :, None]
+        m_lo = col == (xpad - 1)
+        m_hi = col == (w - xpad)
     out = []
     for i, (a, is_ty) in enumerate(zip(sp, _IS_TY)):
         if i not in fields:
@@ -235,8 +257,12 @@ def refresh_x_cols(
             continue
         lo_halo, hi_halo = _ship_pair(a, 1, AXIS_X, nx, is_ty,
                                       lo_idx=xpad, hi_idx=a.shape[1] - 1 - xpad)
-        a = jax.lax.dynamic_update_slice_in_dim(a, lo_halo, xpad - 1, axis=1)
-        a = jax.lax.dynamic_update_slice_in_dim(a, hi_halo, a.shape[1] - xpad, axis=1)
+        if form == "select":
+            a = jnp.where(m_lo, lo_halo, jnp.where(m_hi, hi_halo, a))
+        else:
+            a = jax.lax.dynamic_update_slice_in_dim(a, lo_halo, xpad - 1, axis=1)
+            a = jax.lax.dynamic_update_slice_in_dim(
+                a, hi_halo, a.shape[1] - xpad, axis=1)
         out.append(a)
     return ParticleState(*out)
 

@@ -130,12 +130,16 @@ def test_halo_exchange_x_rows_bit_identical_to_full_pad():
             np.testing.assert_array_equal(a, b, err_msg=f"{which}.{name}")
 
 
-def test_refresh_x_cols_matches_repad():
+@pytest.mark.parametrize("form", ["dus", "select"])
+@pytest.mark.parametrize("xpad", [1, 3])
+def test_refresh_x_cols_matches_repad(form, xpad):
     """refresh_x_cols (the persistent-padded layout's per-step halo-column
     update) must leave the padded grid bit-identical to re-padding its
     interior from scratch — including the ty tombstone decode at the mesh
     boundary — after the interior has changed (as a step changes it) and the
-    halo columns have gone stale."""
+    halo columns have gone stale. Both write forms (paired DUS vs the
+    fusable broadcast+select) and margin-padded layouts (xpad > 1) must
+    produce the same bytes."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     import jax.numpy as jnp
@@ -150,7 +154,7 @@ def test_refresh_x_cols_matches_repad():
     spec = ParticleState(*([P("dy", "dx", None)] * 5))
 
     def body(s):
-        sp = pad_x_state(s, nx)
+        sp = pad_x_state(s, nx, xpad=xpad)
         # perturb EVERY field everywhere (halo columns included — they are
         # stale garbage the refresh must fully overwrite), like a step would
         sp = ParticleState(
@@ -160,14 +164,46 @@ def test_refresh_x_cols_matches_repad():
             vy=sp.vy - jnp.float32(2.0),
             ty=jnp.where((sp.x % 7 == 0) & (sp.ty >= 0), 1, sp.ty),
         )
-        got = refresh_x_cols(sp, nx)
-        interior = ParticleState(*(a[:, 1:-1] for a in sp))
-        ref = pad_x_state(interior, nx)
+        got = refresh_x_cols(sp, nx, xpad=xpad, form=form)
+        interior = ParticleState(
+            *(a[:, xpad : a.shape[1] - xpad] for a in sp))
+        ref = pad_x_state(interior, nx, xpad=xpad)
+        # margin columns (xpad > 1) are untouched by the refresh but
+        # re-tombstoned by pad_x_state: compare them from ref's layout
         return got, ref
 
     run = shard_map(body, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec))
     got, ref = jax.tree.map(np.asarray, run(shard_state(state, mesh)))
+    # margin columns (xpad > 1) are permanently-dead filler the refresh
+    # never touches (the perturbation above scribbled on them; a real step
+    # leaves dead lanes alone) — compare halo + interior only. The gathered
+    # global array concatenates each device's padded width, so the margin
+    # positions repeat every w_local columns.
+    w_local = ref.x.shape[1] // nx
+    local_col = np.arange(ref.x.shape[1]) % w_local
+    keep = (local_col >= xpad - 1) & (local_col < w_local - (xpad - 1))
     for name, a, b in zip(ref._fields, ref, got):
+        np.testing.assert_array_equal(a[:, keep], b[:, keep], err_msg=name)
+
+
+def test_sharded_frame_refresh_forms_bit_identical(monkeypatch):
+    """The full sharded Pallas runner must produce the same bytes whichever
+    halo-column refresh form is compiled in (PS_SHARD_REFRESH=dus|select):
+    the select form exists purely so XLA can fuse the refresh into the next
+    step's pallas input DMA instead of materializing full-grid DUS copies
+    (the r4 HLO census's dominant per-step data movement)."""
+    cfg = GridConfig(4, 4, 4, move_every=4)
+    state, params = scene_grid(cfg, nx=14, ny=14, vel=(0.0, 80.0))
+    params = params._replace(steps_per_frame=np.int32(10))
+    mesh = make_mesh(n_devices=4)
+
+    outs = {}
+    for form in ("dus", "select"):
+        monkeypatch.setenv("PS_SHARD_REFRESH", form)
+        fn = make_sharded_frame_fn(cfg, mesh, donate=False, kernel="pallas")
+        outs[form] = jax.tree.map(
+            np.asarray, fn(shard_state(state, mesh), params))
+    for name, a, b in zip(outs["dus"]._fields, outs["dus"], outs["select"]):
         np.testing.assert_array_equal(a, b, err_msg=name)
 
 
