@@ -318,6 +318,9 @@ class Simulator:
         import threading
 
         self._pallas_claim_lock = threading.Lock()
+        # in-flight warm-ahead compile threads by _pallas_status key: pinned
+        # frame_async joins these instead of tracing the same program twice
+        self._warm_threads: dict = {}
         # which kernel produced the last frame_async dispatch — observability
         # for the daemon's meter line (throughput must be attributable):
         # "bucket-pallas" | "bucket-jnp-interim" (pallas still compiling) |
@@ -398,18 +401,29 @@ class Simulator:
                         self.grid.bx_log2 + 1, self.grid.by_log2 + 1,
                         self.grid.cap, self.grid.move_every,
                     )
-            layout = bucketize_numpy(live, self.grid)
-            # seed the readback's occupied-prefix width and dense-pack
-            # length from the actual scene so the first ship's jit
-            # signature is already right
+            # Occupancy from bucket ids alone (np.bincount), BEFORE the full
+            # bucketize: min(count, cap) equals the per-bucket placed count
+            # (bucketize fills slots ascending and drops past cap), so the
+            # readback seeds and lane-chunk choice below are byte-identical
+            # to deriving them from the layout — and once they're known the
+            # scene's full jit signature is known, so the Pallas compile /
+            # executable-deserialize can start on a thread (_warm_ahead)
+            # while this thread still bucketizes and uploads (VERDICT r4
+            # item 6: the pinned-mode warm-restart floor ran those phases
+            # back-to-back).
             g = self.grid
-            occ = (layout["ty"].reshape(g.by, g.bx, g.cap) >= 0).sum(axis=2)
+            bxi = (live["x"] >> np.uint32(32 - g.bx_log2)).astype(np.int64)
+            byi = (live["y"] >> np.uint32(32 - g.by_log2)).astype(np.int64)
+            counts = np.bincount(bxi + byi * g.bx, minlength=g.by * g.bx)
+            occ = np.minimum(counts, g.cap).reshape(g.by, g.bx)
             self._readback_k = pow2_at_least(int(occ.max(initial=0)))
             self._readback_ncap = pow2_at_least(len(live))
             self._readback_low_streak = 0
             # lane-chunked step kernel for spatially sparse scenes (the
             # column analog of the dead-row-block skip); static per load
             self._lane_chunks = _lane_chunks_for(occ, g)
+            self._warm_ahead()
+            layout = bucketize_numpy(live, self.grid)
             state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
             if self.mesh is not None:
                 from particle_simulator_tpu.parallel.domain import (
@@ -554,6 +568,8 @@ class Simulator:
                     else "sharded-jnp-interim"
                 )
             else:
+                if kernel == "pallas":
+                    self._join_warm(("sharded", self.grid, self.mesh, chunks))
                 self.state = self._sharded_fn(kernel, chunks)(self.state, self.params)
                 self.active_kernel = f"sharded-{kernel}"
         elif self.active_device == Device.GPU:
@@ -575,6 +591,7 @@ class Simulator:
                     else "bucket-jnp-interim"
                 )
             else:
+                self._join_warm((self.grid, block_rows, self._lane_chunks))
                 ext_io, compact = _ext_io_mode()
                 self.state = _run_bucket_pallas(
                     self.state, self.params, block_rows=block_rows,
@@ -610,6 +627,64 @@ class Simulator:
         return fn
 
     # -- progressive Pallas compile (see __init__ for the rationale) -----------
+    def _warm_ahead(self) -> None:
+        """Start compiling THIS scene's frame program on a background thread
+        while load_frame is still bucketizing + uploading it (both
+        multi-second at 1M over a remote link). Progressive mode already
+        hides cold compiles behind the interim jnp runner; this also removes
+        the serialization in PINNED mode, where the first dispatch otherwise
+        pays compile/executable-deserialize strictly AFTER scene-load
+        (BASELINE.md: the 102.5 s warm-restart floor). frame_async joins an
+        in-flight warm for its key rather than duplicating the trace.
+
+        Default-on only where it helps (a real accelerator backend); CPU CI
+        would spawn interpret-mode compile threads that race monkeypatched
+        kernels. PS_WARM_AHEAD=0/1 overrides."""
+        import threading
+
+        on = os.environ.get("PS_WARM_AHEAD")
+        if on is None:
+            on = "1" if jax.default_backend() == "tpu" else "0"
+        if on != "1" or self.data_structure != DataStructure.MATRIX_BUCKETS:
+            return
+        params = SimParams.from_record(self.meta_record)
+        if self.mesh is not None:
+            if _sharded_step_kernel() != "pallas":
+                return
+            key = ("sharded", self.grid, self.mesh, self._lane_chunks)
+            with self._pallas_claim_lock:
+                if key in self._pallas_status:
+                    return
+                self._pallas_status[key] = "compiling"
+            t = threading.Thread(
+                target=self._compile_sharded, args=(key, params),
+                daemon=True, name="sharded-pallas-warm-ahead",
+            )
+        elif self.accel is not None and self.active_device == Device.GPU:
+            k = int(self.meta_record["gpu_threads_per_block_log2"])
+            block_rows = max(1, 1 << max(0, k - 4))
+            key = (self.grid, block_rows, self._lane_chunks)
+            with self._pallas_claim_lock:
+                if key in self._pallas_status:
+                    return
+                self._pallas_status[key] = "compiling"
+            t = threading.Thread(
+                target=self._compile_pallas, args=(key, params),
+                daemon=True, name="pallas-warm-ahead",
+            )
+        else:
+            return
+        self._warm_threads[key] = t
+        t.start()
+
+    def _join_warm(self, key) -> None:
+        """Block until a warm-ahead compile for ``key`` (if any) finishes —
+        the pinned path's first dispatch must not trace the same program on
+        two threads at once."""
+        t = self._warm_threads.pop(key, None)
+        if t is not None:
+            t.join()
+
     def _sharded_warm(self, chunks: int) -> bool:
         """Sharded-path analog of ``_pallas_warm``: True once the sharded
         Pallas frame program for (grid, mesh, lane_chunks) is compiled. The

@@ -1026,8 +1026,95 @@ def bucket_step_pallas_ext(
     return refresh_ext_pads(out, lane_chunks)
 
 
+_AUX_BIG = np.int32(2**30)
+
+
+def _move_pass_aux(
+    destid2d: jnp.ndarray, ty_rows: int, n_blocks: int, C: int, Wp: int,
+    L: int, src_row_shift: int, win_lo: int,
+) -> jnp.ndarray:
+    """Per-(dest row-block, lane-chunk) pull-pass bounds from the dest pass.
+
+    The place kernels enumerate 3*(4*cap-1) static (dy, t) pull passes per
+    live tile, but each KEPT candidate needs exactly one: dy = source row -
+    dest row, t = source lane - dest lane (the roll shift that aligns them).
+    In steady state most tiles have no bucket-crossers at all (their only
+    pass is dy=0, t=0 — dest slot == source slot when nothing enters or
+    leaves the 3x3 neighborhood scan), so per-tile bounds let the kernel
+    skip almost the whole pass pipeline. This computes, per source row and
+    lane-chunk, [tmin, tmax] and a dy-presence bitmask over kept candidates
+    (cheap reshape reduces — no scatter), then takes each DEST tile's union
+    over its source window (the block's rows +-1 and chunks +-1 — a strict
+    superset of the candidates its passes can see, so a pass outside the
+    bounds can match nothing and skipping it is exact; matching stays by
+    value, hence bit-identical).
+
+    ``src_row_shift`` maps source row index to dest-row coordinates (0 for
+    the in-grid kernel, -1 when source rows are halo-padded); ``win_lo`` is
+    the first source row of dest block 0's window in source coordinates.
+    Returns i32 (3 * n_blocks * C,): [tmin... | tmax... | dymask...].
+    """
+    rows = destid2d.shape[0]
+    kept = destid2d >= 0
+    src_lane = jax.lax.broadcasted_iota(jnp.int32, destid2d.shape, 1)
+    src_row = jax.lax.broadcasted_iota(jnp.int32, destid2d.shape, 0) + src_row_shift
+    d_lane = jnp.where(kept, destid2d % L, 0)
+    d_row = jnp.where(kept, destid2d // L, 0)
+    t = src_lane - d_lane
+    dyv = src_row - d_row
+
+    def to_chunks(a, fill):
+        # pad the lane axis to C*Wp (halo rounding) so rows chunk evenly
+        if C * Wp > a.shape[1]:
+            a = jnp.concatenate(
+                [a, jnp.full((rows, C * Wp - a.shape[1]), fill, a.dtype)], 1
+            )
+        return a.reshape(rows, C, Wp)
+
+    tmin_rc = to_chunks(jnp.where(kept, t, _AUX_BIG), _AUX_BIG).min(axis=2)
+    tmax_rc = to_chunks(jnp.where(kept, t, -_AUX_BIG), -_AUX_BIG).max(axis=2)
+
+    # dest tile (i, c) window: source rows win_lo + i*ty_rows .. + ty_rows+1
+    # (clipped like the kernels' clamped block specs), source chunks c-1..c+1
+    win = np.clip(
+        np.arange(n_blocks)[:, None] * ty_rows
+        + win_lo + np.arange(ty_rows + 2)[None, :],
+        0, rows - 1,
+    )
+
+    def win_red(a, red, fill):
+        aw = red(a[win], axis=1)  # (n_blocks, C)
+        p = jnp.pad(aw, ((0, 0), (1, 1)), constant_values=fill)
+        return red(jnp.stack([p[:, :-2], p[:, 1:-1], p[:, 2:]], 0), axis=0)
+
+    tmin_b = win_red(tmin_rc, jnp.min, _AUX_BIG)
+    tmax_b = win_red(tmax_rc, jnp.max, -_AUX_BIG)
+    dym_b = jnp.zeros((n_blocks, C), jnp.int32)
+    for dv in (-1, 0, 1):
+        anyv = to_chunks((kept & (dyv == dv)).astype(jnp.int32), 0).max(axis=2)
+        dym_b = dym_b | (win_red(anyv, jnp.max, 0) << (dv + 1))
+    return jnp.concatenate(
+        [tmin_b.reshape(-1), tmax_b.reshape(-1), dym_b.reshape(-1)]
+    ).astype(jnp.int32)
+
+
+def _move_pass_aux_or_full(destid2d, ty_rows, n_blocks, C, Wp, L,
+                           src_row_shift, win_lo) -> jnp.ndarray:
+    """_move_pass_aux, or all-passes-run constants when PS_MOVE_PASS_SKIP=0
+    (A/B hook: same kernel, every group predicate true)."""
+    if os.environ.get("PS_MOVE_PASS_SKIP", "1") == "1":
+        return _move_pass_aux(destid2d, ty_rows, n_blocks, C, Wp, L,
+                              src_row_shift, win_lo)
+    nt = n_blocks * C
+    return jnp.concatenate([
+        jnp.full((nt,), -_AUX_BIG, jnp.int32),
+        jnp.full((nt,), _AUX_BIG, jnp.int32),
+        jnp.full((nt,), 7, jnp.int32),
+    ])
+
+
 def _place_kernel(
-    flags_ref,
+    flags_ref, aux_ref,
     xm_ref, x_ref, xp_ref,
     ym_ref, y_ref, yp_ref,
     tym_ref, ty_ref, typ_ref,
@@ -1036,6 +1123,7 @@ def _place_kernel(
     idm_ref, id_ref, idp_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
     *, ty_rows: int, by: int, cap: int, n_chunks: int = 1, pad: int = 0,
+    n_tiles: int = 0,
 ):
     """Rebucket placement: each output slot pulls the (unique) candidate in
     its 3x3 neighborhood whose precomputed destination is this slot. Same
@@ -1065,10 +1153,16 @@ def _place_kernel(
     L = n_chunks * W  # true flat row width (= the destid lane modulus)
     if n_chunks == 1:
         c_id = jnp.int32(0)
-        flag = flags_ref[p_id]
+        idx = p_id
     else:
         c_id = pl.program_id(1).astype(jnp.int32)
-        flag = flags_ref[p_id * n_chunks + pl.program_id(1)]
+        idx = p_id * n_chunks + pl.program_id(1)
+    flag = flags_ref[idx]
+    # per-tile pull-pass bounds (_move_pass_aux): lane-shift range + dy
+    # bitmask over the kept candidates this tile's passes could match
+    tmin = aux_ref[idx]
+    tmax = aux_ref[n_tiles + idx]
+    dymask = aux_ref[2 * n_tiles + idx]
 
     # start from an all-tombstone layout; accumulate THROUGH the output refs
     # (value-carried accumulators keep hundreds of pass intermediates live and
@@ -1102,46 +1196,67 @@ def _place_kernel(
         fields_m = (xm_ref[:], ym_ref[:], tym_ref[:], vxm_ref[:], vym_ref[:], idm_ref[:])
         fields_p = (xp_ref[:], yp_ref[:], typ_ref[:], vxp_ref[:], vyp_ref[:], idp_ref[:])
 
-        for dy in (-1, 0, 1):
-            if dy == -1:
-                cx, cy, cty, cvx, cvy, crk = (above(m, c) for m, c in zip(fields_m, fields0))
-            elif dy == 0:
-                cx, cy, cty, cvx, cvy, crk = fields0
-            else:
-                cx, cy, cty, cvx, cvy, crk = (below(c, p) for c, p in zip(fields0, fields_p))
-            row_ok = jnp.logical_and(my_by + dy >= 0, my_by + dy < by)
-            # one roll per pass: stack the six 32-bit fields along sublanes
-            stacked = jnp.concatenate(
-                [
-                    cx, cy,
-                    jax.lax.bitcast_convert_type(cty, jnp.uint32),
-                    jax.lax.bitcast_convert_type(cvx, jnp.uint32),
-                    jax.lax.bitcast_convert_type(cvy, jnp.uint32),
-                    jax.lax.bitcast_convert_type(crk, jnp.uint32),
-                ],
-                axis=0,
-            )
-            for t in range(-(2 * cap - 1), 2 * cap):
-                rolled = _roll_lanes(stacked, t)
-                if pad:
-                    # center window: the chunk's own W lanes. pad >= 2*cap-1
-                    # >= |t|, so every candidate reaching these lanes is in
-                    # the window and no roll wrapped across it
-                    rolled = rolled[:, pad : pad + W]
-                jx = rolled[:ty_rows]
-                jy = rolled[ty_rows : 2 * ty_rows]
-                jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
-                jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
-                jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
-                jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+        def run_pass(stacked, row_ok, t):
+            rolled = _roll_lanes(stacked, t)
+            if pad:
+                # center window: the chunk's own W lanes. pad >= 2*cap-1
+                # >= |t|, so every candidate reaching these lanes is in
+                # the window and no roll wrapped across it
+                rolled = rolled[:, pad : pad + W]
+            jx = rolled[:ty_rows]
+            jy = rolled[ty_rows : 2 * ty_rows]
+            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
+            jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
+            jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
+            jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
 
-                # destid encodes keep: dropped = -1, never equal to any my_id
-                match = row_ok & (jid == my_id)
-                ox_ref[:] = jnp.where(match, jx, ox_ref[:])
-                oy_ref[:] = jnp.where(match, jy, oy_ref[:])
-                ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
-                ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
-                oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+            # destid encodes keep: dropped = -1, never equal to any my_id
+            match = row_ok & (jid == my_id)
+            ox_ref[:] = jnp.where(match, jx, ox_ref[:])
+            oy_ref[:] = jnp.where(match, jy, oy_ref[:])
+            ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
+            ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
+            oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+
+        for dy in (-1, 0, 1):
+            # skip the whole dy family when no kept candidate in this tile's
+            # source window moves by that row delta (_move_pass_aux; pass
+            # order is irrelevant to the output — dest ids are unique, so
+            # matching is order-independent and skips stay bit-identical)
+            @pl.when((dymask & (1 << (dy + 1))) != 0)
+            def _dy_family(dy=dy):
+                if dy == -1:
+                    cx, cy, cty, cvx, cvy, crk = (
+                        above(m, c) for m, c in zip(fields_m, fields0))
+                elif dy == 0:
+                    cx, cy, cty, cvx, cvy, crk = fields0
+                else:
+                    cx, cy, cty, cvx, cvy, crk = (
+                        below(c, p) for c, p in zip(fields0, fields_p))
+                row_ok = jnp.logical_and(my_by + dy >= 0, my_by + dy < by)
+                # one roll per pass: stack the six 32-bit fields along sublanes
+                stacked = jnp.concatenate(
+                    [
+                        cx, cy,
+                        jax.lax.bitcast_convert_type(cty, jnp.uint32),
+                        jax.lax.bitcast_convert_type(cvx, jnp.uint32),
+                        jax.lax.bitcast_convert_type(cvy, jnp.uint32),
+                        jax.lax.bitcast_convert_type(crk, jnp.uint32),
+                    ],
+                    axis=0,
+                )
+                # shift groups of 8: a group whose [lo, hi] misses the
+                # tile's [tmin, tmax] has no candidate pair and skips; in
+                # steady state (few bucket-crossers) most tiles run ONE
+                # group instead of all 4*cap-1 shifts
+                t0 = -(2 * cap - 1)
+                for g_lo in range(t0, 2 * cap, 8):
+                    ts = list(range(g_lo, min(g_lo + 8, 2 * cap)))
+
+                    @pl.when((tmin <= ts[-1]) & (tmax >= ts[0]))
+                    def _group(ts=ts, stacked=stacked, row_ok=row_ok):
+                        for t in ts:
+                            run_pass(stacked, row_ok, t)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "lane_chunks"))
@@ -1260,8 +1375,12 @@ def bucket_move_pallas(
         )
 
     kernel = functools.partial(
-        _place_kernel, ty_rows=ty_rows, by=by, cap=cap, n_chunks=C, pad=pad
+        _place_kernel, ty_rows=ty_rows, by=by, cap=cap, n_chunks=C, pad=pad,
+        n_tiles=n_blocks * C,
     )
+    # per-tile pull-pass bounds: dest-block source windows are rows +-1,
+    # chunks +-1 of the true-lane layout (src rows are dest rows, shift 0)
+    aux = _move_pass_aux_or_full(destid, ty_rows, n_blocks, C, W, L, 0, -1)
 
     def triplet(a, fill=0):
         e = ext(flat(a), fill)
@@ -1269,7 +1388,7 @@ def bucket_move_pallas(
     nx, ny, nvx, nvy, nty = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [spec(o) for _ in range(6) for o in (-1, 0, +1)],
         out_specs=[out_spec] * 5,
         out_shape=[
@@ -1285,7 +1404,7 @@ def bucket_move_pallas(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        flags,
+        flags, aux,
         *triplet(state.x), *triplet(state.y), *triplet(state.ty, -1),
         *triplet(state.vx, 0.0), *triplet(state.vy, 0.0), *triplet(destid, -1),
     )
@@ -1298,10 +1417,11 @@ def bucket_move_pallas(
 
 
 def _place_edge_kernel(
-    flags_ref,
+    flags_ref, aux_ref,
     x_ref, y_ref, ty_ref, vx_ref, vy_ref, id_ref, halo_ref,
     ox_ref, oy_ref, ovx_ref, ovy_ref, oty_ref,
     *, ty_rows: int, cap: int, n_chunks: int = 1, pad: int = 0, true_l: int = 0,
+    n_tiles: int = 0,
 ):
     """_place_kernel variant for the sharded path: the rows above/below each
     block arrive in ONE packed halo block (12 of 16 sublanes used) instead of
@@ -1332,10 +1452,15 @@ def _place_edge_kernel(
 
     if n_chunks == 1:
         c_id = None
-        flag = flags_ref[p_id]
+        idx = p_id
     else:
         c_id = pl.program_id(1)  # hoisted: program_id can't trace inside when
-        flag = flags_ref[p_id * n_chunks + c_id]
+        idx = p_id * n_chunks + c_id
+    flag = flags_ref[idx]
+    # per-tile pull-pass bounds (_move_pass_aux, sharded coords)
+    tmin = aux_ref[idx]
+    tmax = aux_ref[n_tiles + idx]
+    dymask = aux_ref[2 * n_tiles + idx]
 
     @pl.when(flag != 0)
     def _live_block():
@@ -1362,39 +1487,53 @@ def _place_edge_kernel(
             jax.lax.bitcast_convert_type(id_ref[:], jnp.uint32),
         )
 
-        for dy in (-1, 0, 1):
-            if dy == -1:
-                fields = tuple(
-                    jnp.concatenate([a, c[: ty_rows - 1]], axis=0)
-                    for a, c in zip(above_f, main)
-                )
-            elif dy == 0:
-                fields = main
-            else:
-                fields = tuple(
-                    jnp.concatenate([c[1:], b], axis=0)
-                    for c, b in zip(main, below_f)
-                )
-            stacked = jnp.concatenate(fields, axis=0)
-            for t in range(-(2 * cap - 1), 2 * cap):
-                rolled = _roll_lanes(stacked, t)
-                if pad:
-                    # center window; pad >= 2*cap-1 >= |t| means every
-                    # candidate reaching it is in-window, no roll wrapped
-                    rolled = rolled[:, pad : pad + W]
-                jx = rolled[:ty_rows]
-                jy = rolled[ty_rows : 2 * ty_rows]
-                jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
-                jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
-                jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
-                jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
+        def run_pass(stacked, t):
+            rolled = _roll_lanes(stacked, t)
+            if pad:
+                # center window; pad >= 2*cap-1 >= |t| means every
+                # candidate reaching it is in-window, no roll wrapped
+                rolled = rolled[:, pad : pad + W]
+            jx = rolled[:ty_rows]
+            jy = rolled[ty_rows : 2 * ty_rows]
+            jty = jax.lax.bitcast_convert_type(rolled[2 * ty_rows : 3 * ty_rows], jnp.int32)
+            jvx = jax.lax.bitcast_convert_type(rolled[3 * ty_rows : 4 * ty_rows], jnp.float32)
+            jvy = jax.lax.bitcast_convert_type(rolled[4 * ty_rows : 5 * ty_rows], jnp.float32)
+            jid = jax.lax.bitcast_convert_type(rolled[5 * ty_rows :], jnp.int32)
 
-                match = jid == my_id
-                ox_ref[:] = jnp.where(match, jx, ox_ref[:])
-                oy_ref[:] = jnp.where(match, jy, oy_ref[:])
-                ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
-                ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
-                oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+            match = jid == my_id
+            ox_ref[:] = jnp.where(match, jx, ox_ref[:])
+            oy_ref[:] = jnp.where(match, jy, oy_ref[:])
+            ovx_ref[:] = jnp.where(match, jvx, ovx_ref[:])
+            ovy_ref[:] = jnp.where(match, jvy, ovy_ref[:])
+            oty_ref[:] = jnp.where(match, jty, oty_ref[:])
+
+        for dy in (-1, 0, 1):
+            # per-tile (dy, shift-group) skips — same bounds machinery as
+            # _place_kernel; matching is by unique value, so pass order and
+            # skipped no-match passes never change the output
+            @pl.when((dymask & (1 << (dy + 1))) != 0)
+            def _dy_family(dy=dy):
+                if dy == -1:
+                    fields = tuple(
+                        jnp.concatenate([a, c[: ty_rows - 1]], axis=0)
+                        for a, c in zip(above_f, main)
+                    )
+                elif dy == 0:
+                    fields = main
+                else:
+                    fields = tuple(
+                        jnp.concatenate([c[1:], b], axis=0)
+                        for c, b in zip(main, below_f)
+                    )
+                stacked = jnp.concatenate(fields, axis=0)
+                t0 = -(2 * cap - 1)
+                for g_lo in range(t0, 2 * cap, 8):
+                    ts = list(range(g_lo, min(g_lo + 8, 2 * cap)))
+
+                    @pl.when((tmin <= ts[-1]) & (tmax >= ts[0]))
+                    def _group(ts=ts, stacked=stacked):
+                        for t in ts:
+                            run_pass(stacked, t)
 
 
 @functools.partial(
@@ -1523,12 +1662,18 @@ def bucket_move_pallas_halo(
         )
     kernel = functools.partial(
         _place_edge_kernel, ty_rows=ty_rows, cap=cap, n_chunks=C, pad=pad,
-        true_l=L,
+        true_l=L, n_tiles=n_blocks * C,
+    )
+    # per-tile pull-pass bounds: source rows are halo-padded (padded row r
+    # <-> output row r-1), block i's source window = padded rows
+    # [i*ty_rows, i*ty_rows + ty_rows + 2) — the flags window above
+    aux = _move_pass_aux_or_full(
+        destid.reshape(py, L), ty_rows, n_blocks, C, Wp, L, -1, 0
     )
     nx, ny, nvx, nvy, nty = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
         + [spec() for _ in range(6)]
         + [halo_spec],
         out_specs=[out_spec] * 5,
@@ -1542,7 +1687,7 @@ def bucket_move_pallas_halo(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(
-        flags,
+        flags, aux,
         mains[0],
         mains[1],
         jax.lax.bitcast_convert_type(mains[2], jnp.int32),

@@ -1153,6 +1153,57 @@ def test_live_edit_never_restamps_inflight_frames():
     assert sim.dispatched_under[0] == 3 and sim.dispatched_under[-1] == 7
 
 
+def test_warm_ahead_overlaps_pinned_first_dispatch(monkeypatch):
+    """load_frame must start the scene's Pallas compile on a thread as soon
+    as the jit signature is known (grid + block_rows + lane_chunks — derived
+    from bucket-id bincount BEFORE the full bucketize), and the pinned-mode
+    first frame_async must JOIN that thread instead of tracing the same
+    program twice (VERDICT r4 item 6: the warm-restart floor serialized
+    executable-deserialize after scene-load)."""
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+
+    monkeypatch.setenv("PS_WARM_AHEAD", "1")
+    calls = []
+
+    def fake_pallas(state, params, block_rows=None, lane_chunks=1, **kw):
+        calls.append(lane_chunks)
+        return sim_mod._run_bucket(state, params)
+
+    monkeypatch.setattr(sim_mod, "_run_bucket_pallas", fake_pallas)
+
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.accel = jax.devices("cpu")[0]
+    sim.load_frame(scene_frame(n=6, steps=2))
+
+    key = next(k for k in sim._pallas_status if not isinstance(k[0], str))
+    assert key == (sim.grid, 8, sim._lane_chunks)
+    assert key in sim._warm_threads, "load_frame did not spawn the warm-ahead"
+
+    sim.frame_async()  # pinned mode: joins the warm, then dispatches
+    assert key not in sim._warm_threads
+    assert sim._pallas_status[key] == "ok"
+    assert sim.active_kernel == "bucket-pallas"
+    # dummy warm + real dispatch — and the real one reused the warm claim
+    # rather than re-claiming (no third call, no duplicate status key)
+    assert len(calls) == 2
+    assert len(sim._pallas_status) == 1
+
+    # the shipped state is byte-identical to a run without warm-ahead
+    ref_sim = Simulator(GridConfig(4, 4, 8))
+    ref_sim.accel = jax.devices("cpu")[0]
+    monkeypatch.setenv("PS_WARM_AHEAD", "0")
+    ref_sim.load_frame(scene_frame(n=6, steps=2))
+    ref_sim.frame_async()
+    assert not ref_sim._warm_threads
+    import numpy as np
+
+    for name, a, b in zip(sim.state._fields, sim.state, ref_sim.state):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b),
+                                      err_msg=name)
+
+
 def test_warm_sibling_lane_chunks_covers_the_other_signature(monkeypatch):
     """warm_sibling_lane_chunks compiles the grid's OTHER realistic
     lane-chunk signature ({largest valid split, 1} minus the active one) so
