@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import os
+import time
 from typing import Optional
 
 import jax
@@ -42,6 +43,7 @@ from particle_simulator_tpu.io.frame import (
     DataStructure,
     Device,
     Frame,
+    default_metadata,
 )
 from particle_simulator_tpu.ops.readback import pow2_at_least
 from particle_simulator_tpu.physics.bucket import (
@@ -423,7 +425,10 @@ class Simulator:
             # column analog of the dead-row-block skip); static per load
             self._lane_chunks = _lane_chunks_for(occ, g)
             self._warm_ahead()
+            self._persist_scene_signature()
+            _t0 = time.perf_counter()
             layout = bucketize_numpy(live, self.grid)
+            self.last_bucketize_s = time.perf_counter() - _t0
             state = state_from_numpy(layout, self.grid.capacity).reshape(self.grid.grid_shape)
             if self.mesh is not None:
                 from particle_simulator_tpu.parallel.domain import (
@@ -454,8 +459,9 @@ class Simulator:
         )
         print(
             f"engine: scene loaded ({len(live)} live, {desc}, "
-            f"{self.active_device.display_name}); first compile of a new "
-            "shape may take a while",
+            f"{self.active_device.display_name}, bucketize "
+            f"{getattr(self, 'last_bucketize_s', 0.0):.2f}s); first compile "
+            "of a new shape may take a while",
             file=sys.stderr,
         )
 
@@ -678,12 +684,32 @@ class Simulator:
         t.start()
 
     def _join_warm(self, key) -> None:
-        """Block until a warm-ahead compile for ``key`` (if any) finishes —
-        the pinned path's first dispatch must not trace the same program on
-        two threads at once."""
+        """Block until an in-flight warm compile for ``key`` (if any)
+        finishes — the pinned path's first dispatch must not trace the same
+        program on two threads at once. Joins the warm-ahead thread when one
+        is registered; otherwise, if another warmer holds the claim
+        (warm_last_scene / warm_default_grid on the daemon's startup
+        threads), waits on the status instead. The logged wait is the
+        compile time NOT hidden behind scene-load / startup idle (the
+        warm-restart split BASELINE tracks)."""
         t = self._warm_threads.pop(key, None)
+        if t is None and self._pallas_status.get(key) != "compiling":
+            return
+        _t0 = time.perf_counter()
         if t is not None:
             t.join()
+        else:
+            while self._pallas_status.get(key) == "compiling":
+                time.sleep(0.05)
+        waited = time.perf_counter() - _t0
+        if waited > 0.1:
+            import sys
+
+            print(
+                f"engine: first dispatch waited {waited:.1f}s for the "
+                "in-flight warm compile (remainder not hidden by scene load)",
+                file=sys.stderr,
+            )
 
     def _sharded_warm(self, chunks: int) -> bool:
         """Sharded-path analog of ``_pallas_warm``: True once the sharded
@@ -722,6 +748,7 @@ class Simulator:
                 shard_state,
             )
 
+            _t0 = time.perf_counter()
             dummy, _ = pad_rows_for_mesh(empty_state(grid.grid_shape), mesh)
             dummy = shard_state(dummy, mesh)
             out = self._sharded_fn("pallas", chunks, grid=grid)(dummy, params)
@@ -732,6 +759,7 @@ class Simulator:
             print(
                 f"engine: sharded pallas program ready for grid {grid.bx}x"
                 f"{grid.by}x{grid.cap} over mesh {tuple(mesh.devices.shape)}"
+                f" in {time.perf_counter() - _t0:.1f}s"
                 " — switching off the interim jnp runner",
                 file=sys.stderr,
             )
@@ -780,6 +808,7 @@ class Simulator:
         try:
             from particle_simulator_tpu.engine.state import empty_state
 
+            _t0 = time.perf_counter()
             dummy = jax.device_put(empty_state(grid.grid_shape), self.accel)
             ext_io, compact = _ext_io_mode()
             out = _run_bucket_pallas(
@@ -792,7 +821,8 @@ class Simulator:
 
             print(
                 f"engine: pallas kernel ready for grid {grid.bx}x{grid.by}x"
-                f"{grid.cap} — switching off the interim jnp runner",
+                f"{grid.cap} in {time.perf_counter() - _t0:.1f}s"
+                " — switching off the interim jnp runner",
                 file=sys.stderr,
             )
         except Exception as e:  # pragma: no cover - depends on device limits
@@ -942,6 +972,103 @@ class Simulator:
             self._compile_pallas(key, self.params)
             compiled += 1
         return compiled
+
+    def _persist_scene_signature(self) -> None:
+        """Record the loaded scene's jit signature (grid + lane_chunks +
+        block_rows + mesh shape) next to the persistent compile cache, so the
+        NEXT daemon start can warm it before the editor even sends the scene
+        (``warm_last_scene``). A warm RESTART of the same workload then pays
+        the executable-deserialize during startup/handshake instead of inside
+        first-frames — the measured r4 floor ran it strictly after scene
+        arrival (BASELINE.md: 102.5 s first-frames, VERDICT r4 item 6).
+        Best-effort: any failure is ignored."""
+        try:
+            import json
+
+            from particle_simulator_tpu.utils.compile_cache import (
+                default_cache_dir,
+            )
+
+            path = os.path.join(
+                os.path.dirname(default_cache_dir()), "last_scene.json"
+            )
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            g = self.grid
+            sig = {
+                "bx_log2": g.bx_log2, "by_log2": g.by_log2, "cap": g.cap,
+                "move_every": g.move_every,
+                "lane_chunks": self._lane_chunks,
+                "gpu_threads_per_block_log2": int(
+                    self.meta_record["gpu_threads_per_block_log2"]
+                ),
+                "mesh": (
+                    list(self.mesh.devices.shape)
+                    if self.mesh is not None else None
+                ),
+            }
+            tmp = f"{path}.{os.getpid()}.tmp"
+            with open(tmp, "w") as f:
+                json.dump(sig, f)
+            os.replace(tmp, path)
+        except Exception:  # pragma: no cover - persistence must never hurt
+            pass
+
+    def warm_last_scene(self) -> None:
+        """Best-effort pre-compile of the scene signature the PREVIOUS daemon
+        run served (persisted by ``_persist_scene_signature``). Runs on the
+        daemon's warm-start thread alongside ``warm_default_grid``; the
+        ``_pallas_status`` claims keep the two (and any real scene arriving
+        mid-compile) from duplicating work. Signatures from a different mesh
+        topology are skipped — they would compile a program this run can
+        never dispatch."""
+        try:
+            if self.accel is None:
+                return
+            import json
+
+            from particle_simulator_tpu.utils.compile_cache import (
+                default_cache_dir,
+            )
+
+            path = os.path.join(
+                os.path.dirname(default_cache_dir()), "last_scene.json"
+            )
+            with open(path) as f:
+                sig = json.load(f)
+            mesh_shape = sig.get("mesh")
+            if (mesh_shape is None) != (self.mesh is None):
+                return
+            if self.mesh is not None and list(self.mesh.devices.shape) != mesh_shape:
+                return
+            cfg = GridConfig(
+                int(sig["bx_log2"]), int(sig["by_log2"]), int(sig["cap"]),
+                int(sig["move_every"]),
+            )
+            chunks = int(sig["lane_chunks"])
+            # params values don't affect the jit signature (SimParams enters
+            # as arrays — the zero-recompile invariant), so defaults warm the
+            # exact executable the restarted scene will hit
+            params = SimParams.from_record(default_metadata())
+            if self.mesh is not None:
+                key = ("sharded", cfg, self.mesh, chunks)
+                with self._pallas_claim_lock:
+                    if key in self._pallas_status:
+                        return
+                    self._pallas_status[key] = "compiling"
+                self._compile_sharded(key, params)
+                return
+            k = int(sig.get("gpu_threads_per_block_log2", 8))
+            block_rows = max(1, 1 << max(0, k - 4))
+            key = (cfg, block_rows, chunks)
+            with self._pallas_claim_lock:
+                if key in self._pallas_status:
+                    return
+                self._pallas_status[key] = "compiling"
+            self._compile_pallas(key, params)
+        except FileNotFoundError:
+            pass
+        except Exception:  # pragma: no cover - warming must never hurt
+            pass
 
     # -- readback ----------------------------------------------------------------
     @staticmethod

@@ -1204,6 +1204,63 @@ def test_warm_ahead_overlaps_pinned_first_dispatch(monkeypatch):
                                       err_msg=name)
 
 
+def test_last_scene_signature_persists_and_warms(monkeypatch, tmp_path):
+    """load_frame persists the scene's jit signature next to the compile
+    cache, and a FRESH Simulator's warm_last_scene pre-claims + compiles that
+    exact signature (grid, block_rows, lane_chunks) — so a daemon restart
+    deserializes the scene's executable during the handshake instead of
+    inside first-frames (VERDICT r4 item 6). A pinned first dispatch then
+    waits on that foreign claim via _join_warm instead of tracing the same
+    program on a second thread."""
+    import threading
+
+    import jax
+
+    from particle_simulator_tpu.engine import simulator as sim_mod
+
+    monkeypatch.setenv("PS_TPU_COMPILE_CACHE", str(tmp_path / "jax_cache"))
+    monkeypatch.setenv("PS_WARM_AHEAD", "0")
+    calls = []
+
+    def fake_pallas(state, params, block_rows=None, lane_chunks=1, **kw):
+        calls.append((block_rows, lane_chunks))
+        return sim_mod._run_bucket(state, params)
+
+    monkeypatch.setattr(sim_mod, "_run_bucket_pallas", fake_pallas)
+
+    sim = Simulator(GridConfig(4, 4, 8))
+    sim.accel = jax.devices("cpu")[0]
+    sim.load_frame(scene_frame(n=6, steps=2))
+    sig_path = tmp_path / "last_scene.json"
+    assert sig_path.exists(), "load_frame did not persist the signature"
+
+    # "restarted daemon": a fresh Simulator warms the persisted signature
+    sim2 = Simulator(GridConfig(4, 4, 8))
+    sim2.accel = jax.devices("cpu")[0]
+    key = (sim.grid, 8, sim._lane_chunks)
+    # run the warmer on a thread (as serve() does) while the scene loads,
+    # then dispatch pinned: _join_warm must wait out the foreign claim
+    t = threading.Thread(target=sim2.warm_last_scene)
+    t.start()
+    sim2.load_frame(scene_frame(n=6, steps=2))
+    sim2.frame_async()
+    t.join(timeout=60)
+    assert sim2._pallas_status.get(key) == "ok"
+    assert sim2.active_kernel == "bucket-pallas"
+    # exactly one warm dummy per Simulator + the real dispatch — no
+    # duplicated compile claims
+    assert len(sim2._pallas_status) == 1
+
+    # a signature from a different mesh topology is skipped
+    (tmp_path / "last_scene.json").write_text(
+        sig_path.read_text().replace('"mesh": null', '"mesh": [2, 4]')
+    )
+    sim3 = Simulator(GridConfig(4, 4, 8))
+    sim3.accel = jax.devices("cpu")[0]
+    sim3.warm_last_scene()
+    assert sim3._pallas_status == {}
+
+
 def test_warm_sibling_lane_chunks_covers_the_other_signature(monkeypatch):
     """warm_sibling_lane_chunks compiles the grid's OTHER realistic
     lane-chunk signature ({largest valid split, 1} minus the active one) so
