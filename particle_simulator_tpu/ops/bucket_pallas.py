@@ -123,11 +123,24 @@ def _lane_bad_table(cap: int, L: int) -> np.ndarray:
 def _step_kernel(
     params_ref, flags_ref,
     x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref, badmask_ref,
-    ox_ref, oy_ref, ovx_ref, ovy_ref,
-    fx_acc, fy_acc,
-    *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
+    *rest,
+    ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
     n_chunks: int = 1, pad: int = 0, out_off: int | None = None,
+    has_cols: bool = False, col_s0: int = 0, col_s1: int = 0,
+    col_segw: int = 128,
 ):
+    if has_cols:
+        cols_ref, rest = rest[0], rest[1:]
+    else:
+        cols_ref = None
+    ox_ref, oy_ref, ovx_ref, ovy_ref, fx_acc, fy_acc = rest
+    # chunk window origin in true-lane coordinates (halo-column splice);
+    # program_id must be read at kernel top level — inside the pl.when
+    # branch it fails to interpret on CPU
+    col_base = (
+        pl.program_id(1) * (x_ref.shape[1] - 2 * pad) - pad
+        if (has_cols and n_chunks > 1) else 0
+    )
     if out_off is None:
         out_off = pad  # classic layout: outputs cover the interior lanes
     # Whole-block liveness skip: a block whose every slot is a tombstone has
@@ -158,7 +171,9 @@ def _step_kernel(
             params_ref, x_ref, y_ref, ty_ref, vx_ref, vy_ref, halo_ref,
             badmask_ref, ox_ref, oy_ref, ovx_ref, ovy_ref, fx_acc, fy_acc,
             ty_rows=ty_rows, by=by, cap=cap, dynamic_passes=dynamic_passes,
-            pad=pad, out_off=out_off,
+            pad=pad, out_off=out_off, cols_ref=cols_ref, n_chunks=n_chunks,
+            col_s0=col_s0, col_s1=col_s1, col_segw=col_segw,
+            col_base=col_base,
         )
 
 
@@ -168,12 +183,45 @@ def _step_block(
     ox_ref, oy_ref, ovx_ref, ovy_ref,
     fx_acc, fy_acc,
     *, ty_rows: int, by: int, cap: int, dynamic_passes: bool = False,
-    pad: int = 0, out_off: int | None = None,
+    pad: int = 0, out_off: int | None = None, cols_ref=None,
+    n_chunks: int = 1, col_s0: int = 0, col_s1: int = 0, col_segw: int = 128,
+    col_base=0,
 ):
     if out_off is None:
         out_off = pad
     x0, y0, ty0 = x_ref[:], y_ref[:], ty_ref[:]
     L = x0.shape[1]
+
+    if cols_ref is not None:
+        # Fresh x-halo COLUMN substitution (the sharded "refs" refresh form,
+        # parallel/domain.py): the HBM state's two halo columns go stale
+        # between moves — instead of a whole-grid rewrite per step, the fresh
+        # neighbor columns arrive as a small (ty_rows, 4*segw) ref
+        # [x_lo | x_hi | y_lo | y_hi] and are spliced over the halo-column
+        # lanes here, in VMEM. ty needs no splice: it is invariant between
+        # moves, so the HBM halo-column ty is always current (candidate
+        # validity and the flags/omax reduces stay exact).
+        segw = col_segw
+        cols = cols_ref[:]
+        if cols.shape[1] < L:
+            cols = jnp.concatenate(
+                [cols, jnp.zeros((ty_rows, L - cols.shape[1]), cols.dtype)], 1
+            )
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        if n_chunks == 1:
+            glane = lane
+            r_lo = _roll_lanes(cols, -col_s0)
+            r_hi = _roll_lanes(cols, col_segw - col_s1)
+        else:
+            glane = lane + col_base
+            r_lo = pltpu.roll(cols, col_s0 - col_base, axis=1)
+            r_hi = pltpu.roll(cols, col_s1 - segw - col_base, axis=1)
+        m_lo = (glane >= col_s0) & (glane < col_s0 + cap)
+        m_hi = (glane >= col_s1) & (glane < col_s1 + cap)
+        x0 = jnp.where(m_lo, r_lo, jnp.where(m_hi, r_hi, x0))
+        y_lo = _roll_lanes(r_lo, 2 * segw)
+        y_hi = _roll_lanes(r_hi, 2 * segw)
+        y0 = jnp.where(m_lo, y_lo, jnp.where(m_hi, y_hi, y0))
 
     sigma = params_ref[_SIGMA]
     eps = params_ref[_EPS]
@@ -411,7 +459,9 @@ def _pick_ty_rows(by: int, lanes: int, requested: int | None = None) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("interpret", "block_rows", "dynamic_passes", "lane_chunks"),
+    static_argnames=(
+        "interpret", "block_rows", "dynamic_passes", "lane_chunks", "col_xpad",
+    ),
 )
 def bucket_step_pallas(
     state: ParticleState,
@@ -421,6 +471,8 @@ def bucket_step_pallas(
     edge_rows: tuple[ParticleState, ParticleState] | None = None,
     dynamic_passes: bool | None = None,
     lane_chunks: int = 1,
+    halo_cols: jnp.ndarray | None = None,
+    col_xpad: int = 1,
 ) -> ParticleState:
     """One bucket-path physics step, Pallas TPU kernel. Drop-in replacement for
     physics.bucket.bucket_step (same candidate set; f32 rounding may differ by
@@ -514,7 +566,32 @@ def bucket_step_pallas(
     else:
         top, bottom = edge_rows
 
-        def neighbor_rows(a, lo, hi):
+        # "refs" halo-column geometry (sharded path, parallel/domain.py): the
+        # HBM grid's x/y halo columns are stale between moves; ``halo_cols``
+        # = (by, 4*segw) [x_lo | x_hi | y_lo | y_hi] carries the fresh
+        # neighbor columns. The big x/y field blocks are spliced in-kernel;
+        # the small strided halo ROWS built here (which can also contain
+        # halo-column lanes) are patched XLA-side. External edge rows arrive
+        # pre-patched from the caller (their corners are the y-neighbor's
+        # fresh columns, unknowable here).
+        if halo_cols is not None:
+            segw = halo_cols.shape[1] // 4
+            col_s0 = (col_xpad - 1) * cap
+            col_s1 = (bx - col_xpad) * cap
+            if 4 * cap > L:
+                raise ValueError("halo_cols needs a grid at least 4 buckets wide")
+            cols2 = halo_cols
+
+            def patch(rows2d, crows, seg_lo, seg_hi):
+                lo = crows[:, seg_lo * segw : seg_lo * segw + cap]
+                hi = crows[:, seg_hi * segw : seg_hi * segw + cap]
+                return jnp.concatenate(
+                    [rows2d[:, :col_s0], lo.astype(rows2d.dtype),
+                     rows2d[:, col_s0 + cap : col_s1], hi.astype(rows2d.dtype),
+                     rows2d[:, col_s1 + cap :]], axis=1,
+                )
+
+        def neighbor_rows(a, lo, hi, segs=None):
             # above-row of block i = local row i*ty-1 (the external ``lo`` for
             # block 0), below-row = local row (i+1)*ty (the external ``hi``
             # for the last block). Strided slices + 1-row concats — NOT a
@@ -523,16 +600,18 @@ def bucket_step_pallas(
             # = None branch's strided form was measured to remove:
             # 2.19 -> 1.49 ms/step at the 1M cap-16 user grid).
             a2 = a.reshape(by, L)
-            above = jnp.concatenate(
-                [lo.reshape(1, L), a2[ty_rows - 1 : by - 1 : ty_rows]], axis=0
-            )
-            below = jnp.concatenate(
-                [a2[ty_rows::ty_rows], hi.reshape(1, L)], axis=0
-            )
+            up = a2[ty_rows - 1 : by - 1 : ty_rows]
+            dn = a2[ty_rows::ty_rows]
+            if segs is not None:
+                up = patch(up, cols2[ty_rows - 1 : by - 1 : ty_rows], *segs)
+                dn = patch(dn, cols2[ty_rows::ty_rows], *segs)
+            above = jnp.concatenate([lo.reshape(1, L), up], axis=0)
+            below = jnp.concatenate([dn, hi.reshape(1, L)], axis=0)
             return above, below
 
-        xa, xb = neighbor_rows(state.x, top.x, bottom.x)
-        ya, yb = neighbor_rows(state.y, top.y, bottom.y)
+        xy_segs = ((0, 1), (2, 3)) if halo_cols is not None else (None, None)
+        xa, xb = neighbor_rows(state.x, top.x, bottom.x, xy_segs[0])
+        ya, yb = neighbor_rows(state.y, top.y, bottom.y, xy_segs[1])
         tya, tyb = neighbor_rows(
             jax.lax.bitcast_convert_type(state.ty, jnp.uint32),
             jax.lax.bitcast_convert_type(top.ty, jnp.uint32),
@@ -606,9 +685,28 @@ def bucket_step_pallas(
     )
     out_spec = pl.BlockSpec((ty_rows, W), out_map, memory_space=pltpu.VMEM)
 
+    col_kw = {}
+    if halo_cols is not None:
+        if edge_rows is None:
+            raise ValueError("halo_cols is only meaningful with edge_rows "
+                             "(the sharded x-padded layout)")
+        if 4 * segw > L:
+            raise ValueError(f"halo_cols segments (4*{segw}) wider than the "
+                             f"lane axis ({L})")
+        if C > 1:
+            # halo columns must fall inside the EDGE chunks' windows only —
+            # the in-kernel splice runs per program on its own window
+            if not (col_s0 + cap <= W - pad and col_s1 >= (C - 1) * W + pad):
+                raise ValueError(
+                    f"halo columns (lanes {col_s0}/{col_s1}) cross a "
+                    f"non-edge chunk window (W={W}, pad={pad}, C={C})"
+                )
+        col_kw = dict(has_cols=True, col_s0=col_s0, col_s1=col_s1,
+                      col_segw=segw)
+
     kernel = functools.partial(
         _step_kernel, ty_rows=ty_rows, by=by, cap=cap,
-        dynamic_passes=dynamic_passes, n_chunks=C, pad=pad,
+        dynamic_passes=dynamic_passes, n_chunks=C, pad=pad, **col_kw,
     )
     # Input fusion (default ON; PS_STEP_INPUT_FUSION=0 opts out): XLA fuses
     # the ext()/halo-stack producers into the pallas call instead of
@@ -621,16 +719,38 @@ def bucket_step_pallas(
         if os.environ.get("PS_STEP_INPUT_FUSION", "1") == "1"
         else None
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # params (+ omax)
+        pl.BlockSpec(memory_space=pltpu.SMEM),  # per-(block, chunk) liveness
+        in_spec, in_spec, in_spec, in_spec, in_spec,  # x, y, ty, vx, vy
+        halo_spec,  # packed neighbor rows
+        badmask_spec,  # static lane-validity table
+    ]
+    operands = [
+        params,
+        flags,
+        ext(flat(state.x), 0), ext(flat(state.y), 0),
+        ext(flat(state.ty), -1),
+        ext(flat(state.vx), 0), ext(flat(state.vy), 0),
+        halo,
+        badmask,
+    ]
+    if halo_cols is not None:
+        in_specs.append(
+            pl.BlockSpec((ty_rows, 4 * segw), in_map, memory_space=pltpu.VMEM)
+            if C == 1
+            else pl.BlockSpec(
+                (ty_rows, 4 * segw), lambda i, c: (i, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(halo_cols)
+        if fuse is not None:
+            fuse = fuse + (False,)
     nx, ny, nvx, nvy = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # params (+ omax)
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # per-(block, chunk) liveness
-            in_spec, in_spec, in_spec, in_spec, in_spec,  # x, y, ty, vx, vy
-            halo_spec,  # packed neighbor rows
-            badmask_spec,  # static lane-validity table
-        ],
+        in_specs=in_specs,
         out_specs=[out_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[
@@ -645,15 +765,7 @@ def bucket_step_pallas(
             allow_input_fusion=fuse,
         ),
         interpret=interpret,
-    )(
-        params,
-        flags,
-        ext(flat(state.x), 0), ext(flat(state.y), 0),
-        ext(flat(state.ty), -1),
-        ext(flat(state.vx), 0), ext(flat(state.vy), 0),
-        halo,
-        badmask,
-    )
+    )(*operands)
 
     shape = state.x.shape
     return ParticleState(

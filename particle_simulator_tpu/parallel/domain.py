@@ -401,17 +401,121 @@ def _local_frame(
                 C, xpad = cand, pad
                 break
 
-        def step(sp):
-            # positions + ty only: the force pass never reads a neighbor's
-            # velocity, so per step 12 collectives ride ICI instead of 20
-            top, bottom = ship_edge_rows(sp, ny, fields=_POS_FIELDS)
-            out = bucket_step_pallas(sp, p, interpret=interpret,
-                                     edge_rows=(top, bottom), lane_chunks=C)
-            # the kernel's outputs for the halo columns are stale recompute;
-            # overwrite them with the x-neighbors' fresh interior edges
-            # (x/y/ty — the halo columns' vx/vy stay stale between moves,
-            # invisible to interior outputs)
-            return refresh_x_cols(out, nx, xpad=xpad, fields=_POS_FIELDS)
+        form = os.environ.get("PS_SHARD_REFRESH", "select")
+        w = lx + 2 * xpad
+        cap = cfg.cap
+        refs_ok = form == "refs" and 4 * cap <= w * cap
+        if refs_ok and C > 1:
+            # the in-kernel splice needs the halo columns inside the EDGE
+            # lane-chunks' windows only (bucket_step_pallas validates the
+            # same bound); fall back to the select form otherwise
+            W = w * cap // C
+            kpad = max(128, 2 * cap)
+            refs_ok = (xpad - 1) * cap + cap <= W - kpad and \
+                (w - xpad) * cap >= (C - 1) * W + kpad
+
+        if refs_ok:
+            # "refs" refresh form: never rewrite the halo columns in HBM
+            # between moves. Per step the fresh x/y neighbor columns ride a
+            # small (ly, 4*segw) ref that the kernel splices over the
+            # halo-column lanes in VMEM; ty (and the flags/omax reduces that
+            # read it) needs nothing — ty is invariant between moves, so the
+            # HBM halo-column ty set by pad_x_state stays current. vx/vy are
+            # topped up at move cadence as before. This removes the
+            # whole-grid refresh write (select/dus forms) from the per-step
+            # path — the r4 HLO census's dominant data movement.
+            segw = 128 if w * cap >= 512 and cap <= 128 else cap
+            s0 = (xpad - 1) * cap
+            s1 = (w - xpad) * cap
+
+            def fresh_cols(sp):
+                ly_ = sp.x.shape[0]
+
+                def seg(v):
+                    v2 = v.reshape(ly_, cap)
+                    if segw > cap:
+                        v2 = jnp.pad(v2, ((0, 0), (0, segw - cap)))
+                    return v2
+
+                lo_x, hi_x = _ship_pair(sp.x, 1, AXIS_X, nx, False,
+                                        lo_idx=xpad, hi_idx=w - 1 - xpad)
+                lo_y, hi_y = _ship_pair(sp.y, 1, AXIS_X, nx, False,
+                                        lo_idx=xpad, hi_idx=w - 1 - xpad)
+                return jnp.concatenate(
+                    [seg(lo_x), seg(hi_x), seg(lo_y), seg(hi_y)], axis=1
+                )
+
+            def patch_row(row2d, crow, seg_lo, seg_hi):
+                lo = crow[:, seg_lo * segw : seg_lo * segw + cap]
+                hi = crow[:, seg_hi * segw : seg_hi * segw + cap]
+                return jnp.concatenate(
+                    [row2d[:, :s0], lo, row2d[:, s0 + cap : s1], hi,
+                     row2d[:, s1 + cap :]], axis=1,
+                )
+
+            def step(sp):
+                ly_ = sp.x.shape[0]
+                cols = fresh_cols(sp)
+                # edge rows: patch OUR OWN edge rows' halo-column lanes with
+                # the fresh columns BEFORE shipping — the shipped rows then
+                # carry current corners (the "y-phase ships x-padded rows"
+                # corner rule, without the HBM refresh that used to keep the
+                # row source current)
+                tops, bottoms = [], []
+                for idx, (a, is_ty) in enumerate(zip(sp, _IS_TY)):
+                    if idx not in _POS_FIELDS:
+                        ph = jnp.full((1,) + a.shape[1:], -1 if is_ty else 0,
+                                      a.dtype)
+                        tops.append(ph)
+                        bottoms.append(ph)
+                        continue
+                    a2 = a.reshape(ly_, w * cap)
+                    r0 = a2[0:1]
+                    r1 = a2[ly_ - 1 : ly_]
+                    if idx == 0:
+                        r0 = patch_row(r0, cols[0:1], 0, 1)
+                        r1 = patch_row(r1, cols[ly_ - 1 : ly_], 0, 1)
+                    elif idx == 1:
+                        r0 = patch_row(r0, cols[0:1], 2, 3)
+                        r1 = patch_row(r1, cols[ly_ - 1 : ly_], 2, 3)
+                    if is_ty:
+                        r0 = r0 + 1
+                        r1 = r1 + 1
+                    lo_halo = _shift_from_prev(r1, AXIS_Y, ny)
+                    hi_halo = _shift_from_next(r0, AXIS_Y, ny)
+                    if is_ty:
+                        lo_halo = lo_halo - 1
+                        hi_halo = hi_halo - 1
+                    tops.append(lo_halo.reshape(1, w, cap))
+                    bottoms.append(hi_halo.reshape(1, w, cap))
+                top = ParticleState(*tops)
+                bottom = ParticleState(*bottoms)
+                return bucket_step_pallas(
+                    sp, p, interpret=interpret, edge_rows=(top, bottom),
+                    lane_chunks=C, halo_cols=cols, col_xpad=xpad,
+                )
+
+            move_refresh_fields = (0, 1, 2, 3)  # x/y stale too; ty current
+        else:
+
+            def step(sp):
+                # positions + ty only: the force pass never reads a
+                # neighbor's velocity, so per step the collectives that ride
+                # ICI stay position-only; the ty refresh is skipped outright
+                # (ty is invariant between moves — the pad_x_state columns
+                # stay current), so per step 10 collectives instead of 20
+                top, bottom = ship_edge_rows(sp, ny, fields=_POS_FIELDS)
+                out = bucket_step_pallas(sp, p, interpret=interpret,
+                                         edge_rows=(top, bottom),
+                                         lane_chunks=C)
+                # the kernel's outputs for the halo columns are stale
+                # recompute; overwrite x/y with the x-neighbors' fresh
+                # interior edges (vx/vy stay stale between moves, invisible
+                # to interior outputs; ty never changes between moves)
+                return refresh_x_cols(out, nx, xpad=xpad, fields=(0, 1),
+                                      form=form)
+
+            move_refresh_fields = _VEL_FIELDS
 
         # Migration/rebucket: the direct shard-aware pass (elementwise ranks,
         # no argsort over the 9*CAP neighborhood axis — ARCHITECTURE.md
@@ -425,10 +529,13 @@ def _local_frame(
             # x-padded rows), one y-concat instead of x-concat + y-concat.
             # Tombstone margin columns (xpad > 1) are sliced off first: the
             # move kernel's halo layout is exactly one column per side.
-            # The per-step refresh keeps halo x/y/ty current but skips
-            # vx/vy (forces never read them); migration pulls WHOLE
-            # particles, so top the velocity columns up now.
-            sp = refresh_x_cols(sp, nx, xpad=xpad, fields=_VEL_FIELDS)
+            # Migration pulls WHOLE particles, so top up every halo-column
+            # field the per-step path left stale: vx/vy always; also x/y
+            # under the "refs" form (which never writes halo columns back
+            # to HBM between moves). ty is invariant between moves — the
+            # pad_x_state columns are still current.
+            sp = refresh_x_cols(sp, nx, xpad=xpad, fields=move_refresh_fields,
+                                form="select")
             if xpad > 1:
                 sp = ParticleState(*(a[:, xpad - 1 : a.shape[1] - (xpad - 1)]
                                      for a in sp))

@@ -188,23 +188,28 @@ def test_refresh_x_cols_matches_repad(form, xpad):
 
 def test_sharded_frame_refresh_forms_bit_identical(monkeypatch):
     """The full sharded Pallas runner must produce the same bytes whichever
-    halo-column refresh form is compiled in (PS_SHARD_REFRESH=dus|select):
-    the select form exists purely so XLA can fuse the refresh into the next
+    halo-column refresh form is compiled in (PS_SHARD_REFRESH=dus|select|
+    refs): the select form exists so XLA can fuse the refresh into the next
     step's pallas input DMA instead of materializing full-grid DUS copies
-    (the r4 HLO census's dominant per-step data movement)."""
+    (the r4 HLO census's dominant per-step data movement); the refs form
+    goes further and never rewrites the halo columns in HBM between moves —
+    the fresh x/y neighbor columns ride a small extra kernel ref that the
+    step splices over the halo-column lanes in VMEM (ty is invariant
+    between moves, so its columns never go stale)."""
     cfg = GridConfig(4, 4, 4, move_every=4)
     state, params = scene_grid(cfg, nx=14, ny=14, vel=(0.0, 80.0))
     params = params._replace(steps_per_frame=np.int32(10))
     mesh = make_mesh(n_devices=4)
 
     outs = {}
-    for form in ("dus", "select"):
+    for form in ("dus", "select", "refs"):
         monkeypatch.setenv("PS_SHARD_REFRESH", form)
         fn = make_sharded_frame_fn(cfg, mesh, donate=False, kernel="pallas")
         outs[form] = jax.tree.map(
             np.asarray, fn(shard_state(state, mesh), params))
-    for name, a, b in zip(outs["dus"]._fields, outs["dus"], outs["select"]):
-        np.testing.assert_array_equal(a, b, err_msg=name)
+    for other in ("select", "refs"):
+        for name, a, b in zip(outs["dus"]._fields, outs["dus"], outs[other]):
+            np.testing.assert_array_equal(a, b, err_msg=f"{other}:{name}")
 
 
 @pytest.mark.parametrize("n_devices", [2, 4, 8])
@@ -609,13 +614,19 @@ def test_x_pad_for_chunks_production_sizes():
     assert x_pad_for_chunks(32, 8, 2) is None
 
 
-def test_sharded_pallas_lane_chunks_bit_identical():
+@pytest.mark.parametrize("form", ["select", "refs"])
+def test_sharded_pallas_lane_chunks_bit_identical(form, monkeypatch):
     """The sharded Pallas runner with the lane-chunk column skip
     (lane_chunks > 1: tombstone-margin x-pad + chunked step kernel) must be
     BIT-identical to the unchunked sharded runner — the skip only gates
     which tiles compute (VERDICT r3 item 3: the +47% sparse-scene win now
     reaches the multi-chip path). Scene: a lattice confined to one quarter
-    of the box, so column chunks actually die."""
+    of the box, so column chunks actually die.
+
+    ``form="refs"`` additionally runs the chunked side with the in-kernel
+    halo-column splice (the C > 1 dynamic-roll path) — the unchunked
+    reference stays on the select form, so this cross-checks forms AND
+    chunking at once."""
     cfg = GridConfig(8, 2, 8, move_every=4)  # 256x4 buckets, cap 8
     frame = Frame.new()
     meta = frame.metadata
@@ -633,7 +644,9 @@ def test_sharded_pallas_lane_chunks_bit_identical():
 
     assert x_pad_for_chunks(128, 8, 2) is not None
 
+    monkeypatch.setenv("PS_SHARD_REFRESH", "select")
     plain = make_sharded_frame_fn(cfg, mesh, donate=False, kernel="pallas")
+    monkeypatch.setenv("PS_SHARD_REFRESH", form)
     chunked = make_sharded_frame_fn(cfg, mesh, donate=False, kernel="pallas",
                                     lane_chunks=2)
     ref = jax.tree.map(np.asarray, plain(shard_state(state, mesh), params))
