@@ -1225,6 +1225,203 @@ def _move_pass_aux_or_full(destid2d, ty_rows, n_blocks, C, Wp, L,
     ])
 
 
+def _dest_kernel(
+    flags_ref,
+    xm_ref, x_ref, xp_ref,
+    ym_ref, y_ref, yp_ref,
+    tym_ref, ty_ref, typ_ref,
+    oid_ref,
+    *, ty_rows: int, by: int, bx: int, cap: int,
+):
+    """Destination slot of every source slot under the reference's pull
+    order (kernel_bucket.cuh:5-39 scan: blocks in (dy, dx) order, slots
+    ascending) — the Pallas port of physics.bucket.move_dest_direct,
+    bit-identical by construction (integer ops only, same scan order).
+
+    Why a kernel: the XLA form materializes its packed cumsums and the
+    9-step rank chain in HBM — measured 6.6 ms per move at 16.7M slots,
+    ~18x its own input/output traffic bound (BASELINE.md queue r5b). Here
+    everything lives in VMEM: the 9 per-block within-bucket prefix sums and
+    segment totals ride the same 2 bit-packed words as the XLA version
+    (each field's count <= cap fits in `bits`), computed by log2(cap)
+    masked shift-add rounds (prefix) and monotone suffix-max rounds
+    (segment-total broadcast — valid because a packed prefix word is
+    nondecreasing along slots in every field at once).
+
+    The rank's cross-cell term (counts at the TARGET's 3x3 neighborhood)
+    spans source rows r-2..r+2, so the block computes on an extended
+    ty_rows+4 row window built from the clamped prev/self/next block
+    inputs; rows outside the global grid are mask-zeroed, which reproduces
+    move_dest_direct's shift_pad zero-fill edge semantics exactly.
+
+    Output: packed destid (dest slot id, or -1 for dropped/dead) — the
+    _place_kernel's match key."""
+    i = pl.program_id(0)
+    L = x_ref.shape[1]
+
+    @pl.when(flags_ref[i] == 0)
+    def _dead_block():
+        oid_ref[:] = jnp.full((ty_rows, L), -1, jnp.int32)
+
+    @pl.when(flags_ref[i] != 0)
+    def _live_block():
+        bx_log2 = int(np.log2(bx))
+        by_log2 = int(np.log2(by))
+        E = ty_rows + 4
+
+        def ext(am, a, ap):
+            return jnp.concatenate([am[-2:], a, ap[:2]], axis=0)
+
+        xw = ext(xm_ref[:], x_ref[:], xp_ref[:])
+        yw = ext(ym_ref[:], y_ref[:], yp_ref[:])
+        tyw = ext(tym_ref[:], ty_ref[:], typ_ref[:])
+
+        # global row of ext row e is i*ty_rows + e - 2; the clamped
+        # prev/next blocks duplicate edge rows, so mask rows off the grid
+        erow = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)
+        grow = i * ty_rows + erow - 2
+        row_ok = (grow >= 0) & (grow < by)
+
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
+        slot = lane % cap
+        cur_bx = lane // cap
+
+        tgt_bx = (xw >> jnp.uint32(32 - bx_log2)).astype(jnp.int32)
+        tgt_by = (yw >> jnp.uint32(32 - by_log2)).astype(jnp.int32)
+        dy = grow - tgt_by
+        dx = cur_bx - tgt_bx
+        pullable = (
+            (tyw >= 0) & row_ok
+            & (jnp.abs(dy) <= 1) & (jnp.abs(dx) <= 1)
+        )
+
+        masks = []
+        for k in range(9):
+            dyk, dxk = k // 3 - 1, k % 3 - 1
+            masks.append(
+                (pullable & (dy == dyk) & (dx == dxk)).astype(jnp.int32)
+            )
+
+        # packed within-bucket prefix sums + segment totals (2 words at
+        # cap 16; same packing as move_dest_direct)
+        bits = int(cap).bit_length()
+        per_word = max(1, 31 // bits)
+        field_max = (1 << bits) - 1
+        rounds = []
+        d = 1
+        while d < cap:
+            rounds.append(d)
+            d *= 2
+        prefs, totals = [], []
+        for w in range(0, 9, per_word):
+            packed = masks[w]
+            shift = bits
+            for k in range(w + 1, min(w + per_word, 9)):
+                packed = packed + (masks[k] << shift)
+                shift += bits
+            s = packed
+            for d in rounds:  # inclusive prefix within the bucket
+                s = s + jnp.where(slot >= d, _roll_lanes(s, -d), 0)
+            t = s
+            for d in rounds:  # total broadcast: monotone suffix-max
+                t = jnp.maximum(t, jnp.where(slot + d < cap, _roll_lanes(t, d), 0))
+            prefs.append(s)
+            totals.append(t)
+
+        def unpack(words, k):
+            return (words[k // per_word] >> (bits * (k % per_word))) & field_max
+
+        def shift_rows(a, s):  # result[e] = a[e - s], zero fill
+            if s == 0:
+                return a
+            z = jnp.zeros((abs(s), L), a.dtype)
+            return (
+                jnp.concatenate([z, a[:-s]], 0)
+                if s > 0
+                else jnp.concatenate([a[-s:], z], 0)
+            )
+
+        def shift_lanes(a, t):  # result[l] = a[l + t], zero past row ends
+            if t == 0:
+                return a
+            ok = (lane + t >= 0) & (lane + t < L)
+            return jnp.where(ok, _roll_lanes(a, t), 0)
+
+        # the (dy, dx)-ordered scan: rank(p) = block_prefix at p's target
+        # (before p's block) + within-cell exclusive prefix; block_prefix
+        # accumulates each block's per-target counts
+        rank = jnp.zeros((E, L), jnp.int32)
+        bp = jnp.zeros((E, L), jnp.int32)  # indexed by target cell
+        for k in range(9):
+            dyk, dxk = k // 3 - 1, k % 3 - 1
+            mk = masks[k]
+            r_k = unpack(prefs, k) - mk  # exclusive
+            bs_at_c = shift_lanes(shift_rows(bp, dyk), -dxk * cap)
+            rank = rank + mk * (bs_at_c + r_k)
+            cnt = shift_lanes(shift_rows(unpack(totals, k), -dyk), dxk * cap)
+            bp = bp + cnt
+
+        keep = pullable & (rank < cap)
+        dest = (tgt_by * bx + tgt_bx) * cap + rank
+        destid = jnp.where(keep, dest, -1)
+        oid_ref[:] = destid[2 : 2 + ty_rows]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def move_dest_pallas(state: ParticleState, interpret: bool = False) -> jnp.ndarray:
+    """Packed destination slot ids for the rebucket pass, computed in a
+    Pallas kernel (see _dest_kernel). Returns (by, bx*cap) i32: the flat
+    dest slot id per source slot, -1 for dropped/dead — exactly
+    ``jnp.where(keep, dest, -1)`` of physics.bucket.move_dest_direct."""
+    by, bx, cap = state.x.shape
+    L = bx * cap
+    ty_rows = _pick_ty_rows(by, L)
+    n_blocks = by // ty_rows
+
+    # dead-block skip: a block with no live INTERIOR slot outputs all -1
+    # (pullable is false everywhere) regardless of its neighbors
+    flags = (
+        (state.ty.reshape(n_blocks, ty_rows * bx * cap).max(axis=1) >= 0)
+        .astype(jnp.int32)
+    )
+
+    def spec(offset):
+        if offset == 0:
+            return pl.BlockSpec((ty_rows, L), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        if offset < 0:
+            return pl.BlockSpec(
+                (ty_rows, L), lambda i: (jnp.maximum(i - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (ty_rows, L), lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def triplet(a):
+        a2 = a.reshape(by, L)
+        return (a2, a2, a2)
+
+    kernel = functools.partial(
+        _dest_kernel, ty_rows=ty_rows, by=by, bx=bx, cap=cap,
+    )
+    (destid,) = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+        + [spec(o) for _ in range(3) for o in (-1, 0, +1)],
+        out_specs=[pl.BlockSpec((ty_rows, L), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((by, L), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(flags, *triplet(state.x), *triplet(state.y), *triplet(state.ty))
+    return destid
+
+
 def _place_kernel(
     flags_ref, aux_ref,
     xm_ref, x_ref, xp_ref,
@@ -1404,10 +1601,17 @@ def bucket_move_pallas(
     pad = 0 if C == 1 else max(128, 2 * cap)
     We = W + 2 * pad
 
-    dest, keep = move_dest_direct(state)
-    # packed destination slot id per source slot; -1 = dropped/dead (never
-    # equal to a real id, so the kernel's single compare handles keep too)
-    destid = jnp.where(keep, dest, -1).astype(jnp.int32).reshape(by, L)
+    if os.environ.get("PS_DEST_PALLAS", "1") == "1":
+        # dest pass in VMEM (_dest_kernel): the XLA form's packed cumsums +
+        # 9-step rank chain materialize in HBM — 6.6 ms/move at 16.7M slots,
+        # ~18x the traffic bound (queue r5b). Bit-identical (integer ops,
+        # same scan order; the 3-impl move identity tests cover it).
+        destid = move_dest_pallas(state, interpret=interpret)
+    else:
+        dest, keep = move_dest_direct(state)
+        # packed destination slot id per source slot; -1 = dropped/dead
+        # (never a real id, so the kernel's single compare handles keep too)
+        destid = jnp.where(keep, dest, -1).astype(jnp.int32).reshape(by, L)
 
     def flat(a):
         return a.reshape(by, L)

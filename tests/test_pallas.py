@@ -783,3 +783,42 @@ def test_pallas_move_dead_block_skip_bit_identical():
     b = jax.tree.map(np.asarray, bucket_move_pallas(state, interpret=True))
     for name, u, v in zip(a._fields, a, b):
         np.testing.assert_array_equal(u, v, err_msg=f"field {name}")
+
+
+def test_move_dest_pallas_bit_identical():
+    """The Pallas dest pass (_dest_kernel: VMEM packed prefix sums + the
+    (dy, dx)-ordered block-prefix scan) must reproduce move_dest_direct's
+    packed destid EXACTLY — including overflow drops (rank >= cap),
+    >1-bucket drifters, tombstones, and grid-edge cells (its shift_pad
+    zero-fill semantics). Random scenes with heavy inter-bucket drift over
+    three grid geometries, crossing row-block boundaries (by > ty_rows)."""
+    from particle_simulator_tpu.engine.state import ParticleState
+    from particle_simulator_tpu.ops.bucket_pallas import move_dest_pallas
+    from particle_simulator_tpu.physics.bucket import move_dest_direct
+
+    rng = np.random.default_rng(0)
+    for by, bx, cap in [(16, 8, 4), (32, 16, 8), (8, 32, 16)]:
+        n = by * bx * cap
+        bxb, byb = int(np.log2(bx)), int(np.log2(by))
+        iy, ix, _ = np.meshgrid(
+            np.arange(by), np.arange(bx), np.arange(cap), indexing="ij"
+        )
+        jx = rng.integers(-(1 << (32 - bxb)), 1 << (32 - bxb), n).astype(np.int64)
+        jy = rng.integers(-(1 << (32 - byb)), 1 << (32 - byb), n).astype(np.int64)
+        x = ((ix.ravel().astype(np.int64) << (32 - bxb))
+             + (1 << (31 - bxb)) + jx * 2) % (1 << 32)
+        y = ((iy.ravel().astype(np.int64) << (32 - byb))
+             + (1 << (31 - byb)) + jy * 2) % (1 << 32)
+        ty = np.where(rng.random(n) < 0.6, rng.integers(0, 2, n), -1).astype(np.int32)
+        st = ParticleState(
+            x=jnp.asarray(x.astype(np.uint32)).reshape(by, bx, cap),
+            y=jnp.asarray(y.astype(np.uint32)).reshape(by, bx, cap),
+            vx=jnp.zeros((by, bx, cap), jnp.float32),
+            vy=jnp.zeros((by, bx, cap), jnp.float32),
+            ty=jnp.asarray(ty).reshape(by, bx, cap),
+        )
+        dest, keep = move_dest_direct(st)
+        ref = np.where(np.asarray(keep), np.asarray(dest), -1)
+        ref = ref.astype(np.int32).reshape(by, bx * cap)
+        got = np.asarray(move_dest_pallas(st, interpret=True))
+        np.testing.assert_array_equal(ref, got, err_msg=f"{(by, bx, cap)}")
