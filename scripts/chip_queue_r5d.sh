@@ -32,12 +32,17 @@ run() {  # run <name> <timeout_s> <cmd...>
     fi
 }
 
+# full hw-numerics suite under the refs form + the Pallas dest pass (both
+# new kernels Mosaic-compile and bit-match the CPU reference on real hw)
 run hw_refs 3600 env PS_SHARD_REFRESH=refs PS_TPU_TEST_PLATFORM=axon,cpu \
-    python -m pytest tests/test_tpu_hw.py -q -k sharded
+    python -m pytest tests/test_tpu_hw.py -q
 note "hw_refs tail: $(tail -2 /tmp/chipq_hw_refs.log | tr '\n' ' | ')"
 run shard_refs 3600 env PS_SHARD_REFRESH=refs python bench.py --user-scene --sharded --frames 60
 run shard_sel2 3600 python bench.py --user-scene --sharded --frames 60
 run user_ctl2 3600 python bench.py --user-scene --frames 60
+run user_dp0 3600 env PS_DEST_PALLAS=0 python bench.py --user-scene --frames 60
+run mdec_dp 2400 python scripts/move_decomp.py --lane-chunks 8
+run n16m2 2400 python bench.py --particles 16000000 --frames 24 --per-frame
 run cfg5_a 2400 python scripts/interactive_1m_chip.py
 note "cfg5_a first_frames: $(grep -o '"first_frames_wait_s"[^,]*' /tmp/chipq_cfg5_a.log | head -1)"
 run cfg5_b 2400 python scripts/interactive_1m_chip.py

@@ -86,7 +86,10 @@ def main():
     live = jax.device_put(live)
     dead = jax.device_put(empty_state(cfg.grid_shape))
 
+    from particle_simulator_tpu.ops.bucket_pallas import move_dest_pallas
+
     dest_fn = jax.jit(move_dest_direct)
+    destp_fn = functools.partial(move_dest_pallas, interpret=args.interpret)
     move_fn = functools.partial(
         bucket_move_pallas, interpret=args.interpret,
         lane_chunks=args.lane_chunks,
@@ -95,8 +98,10 @@ def main():
     results = {}
     for name, st in (("live", live), ("dead", dead)):
         d = timeit(dest_fn, st, reps=args.reps)
+        dp = timeit(destp_fn, st, reps=args.reps)
         m = timeit(move_fn, st, reps=args.reps)
         results[f"dest_ms_{name}"] = round(d, 3)
+        results[f"destp_ms_{name}"] = round(dp, 3)  # Pallas dest kernel (r5)
         results[f"move_ms_{name}"] = round(m, 3)
         results[f"place_ms_{name}"] = round(m - d, 3)  # upper bound: no fusion credit
 
