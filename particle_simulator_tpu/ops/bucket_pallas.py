@@ -1227,12 +1227,19 @@ def _move_pass_aux_or_full(destid2d, ty_rows, n_blocks, C, Wp, L,
 
 def _dest_kernel(
     flags_ref,
-    xm_ref, x_ref, xp_ref,
-    ym_ref, y_ref, yp_ref,
-    tym_ref, ty_ref, typ_ref,
-    oid_ref,
-    *, ty_rows: int, by: int, bx: int, cap: int,
+    *rest,
+    ty_rows: int, by: int, bx: int, cap: int,
+    halo: bool = False, bx_log2: int | None = None, by_log2: int | None = None,
+    px_out: int | None = None,
 ):
+    if halo:
+        offs_ref, halo_ref = rest[0], rest[1]
+        (xm_ref, x_ref, xp_ref, ym_ref, y_ref, yp_ref,
+         tym_ref, ty_ref, typ_ref, oid_ref) = rest[2:]
+    else:
+        offs_ref = halo_ref = None
+        (xm_ref, x_ref, xp_ref, ym_ref, y_ref, yp_ref,
+         tym_ref, ty_ref, typ_ref, oid_ref) = rest
     """Destination slot of every source slot under the reference's pull
     order (kernel_bucket.cuh:5-39 scan: blocks in (dy, dx) order, slots
     ascending) — the Pallas port of physics.bucket.move_dest_direct,
@@ -1265,8 +1272,8 @@ def _dest_kernel(
 
     @pl.when(flags_ref[i] != 0)
     def _live_block():
-        bx_log2 = int(np.log2(bx))
-        by_log2 = int(np.log2(by))
+        bxl = int(np.log2(bx)) if bx_log2 is None else bx_log2
+        byl = int(np.log2(by)) if by_log2 is None else by_log2
         E = ty_rows + 4
 
         def ext(am, a, ap):
@@ -1276,24 +1283,47 @@ def _dest_kernel(
         yw = ext(ym_ref[:], y_ref[:], yp_ref[:])
         tyw = ext(tym_ref[:], ty_ref[:], typ_ref[:])
 
-        # global row of ext row e is i*ty_rows + e - 2; the clamped
-        # prev/next blocks duplicate edge rows, so mask rows off the grid
+        # row of ext row e is i*ty_rows + e - 2 (grid rows when single-chip,
+        # LOCAL interior rows in halo mode); the clamped prev/next blocks
+        # duplicate edge rows, so mask rows outside the candidate range
         erow = jax.lax.broadcasted_iota(jnp.int32, (E, 1), 0)
         grow = i * ty_rows + erow - 2
-        row_ok = (grow >= 0) & (grow < by)
 
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1)
         slot = lane % cap
-        cur_bx = lane // cap
 
-        tgt_bx = (xw >> jnp.uint32(32 - bx_log2)).astype(jnp.int32)
-        tgt_by = (yw >> jnp.uint32(32 - by_log2)).astype(jnp.int32)
+        if halo:
+            # candidates include the two y-halo rows (local rows -1 and by);
+            # splice their real data over the clamp-duplicated ext rows
+            row_ok = (grow >= -1) & (grow <= by)
+            hx_t, hx_b = halo_ref[0:1], halo_ref[1:2]
+            hy_t, hy_b = halo_ref[2:3], halo_ref[3:4]
+            hty_t = jax.lax.bitcast_convert_type(halo_ref[4:5], jnp.int32)
+            hty_b = jax.lax.bitcast_convert_type(halo_ref[5:6], jnp.int32)
+            is_t, is_b = grow == -1, grow == by
+            xw = jnp.where(is_t, hx_t, jnp.where(is_b, hx_b, xw))
+            yw = jnp.where(is_t, hy_t, jnp.where(is_b, hy_b, yw))
+            tyw = jnp.where(is_t, hty_t, jnp.where(is_b, hty_b, tyw))
+            cur_bx = lane // cap - 1  # x-halo column at local bucket -1
+            row_off, col_off = offs_ref[0], offs_ref[1]
+        else:
+            row_ok = (grow >= 0) & (grow < by)
+            cur_bx = lane // cap
+            row_off = col_off = 0
+
+        tgt_bx = (xw >> jnp.uint32(32 - bxl)).astype(jnp.int32) - col_off
+        tgt_by = (yw >> jnp.uint32(32 - byl)).astype(jnp.int32) - row_off
         dy = grow - tgt_by
         dx = cur_bx - tgt_bx
         pullable = (
             (tyw >= 0) & row_ok
             & (jnp.abs(dy) <= 1) & (jnp.abs(dx) <= 1)
         )
+        if halo:
+            # targets must be this shard's own interior buckets
+            pullable = pullable & (
+                (tgt_by >= 0) & (tgt_by < by) & (tgt_bx >= 0) & (tgt_bx < bx)
+            )
 
         masks = []
         for k in range(9):
@@ -1362,7 +1392,12 @@ def _dest_kernel(
             bp = bp + cnt
 
         keep = pullable & (rank < cap)
-        dest = (tgt_by * bx + tgt_bx) * cap + rank
+        if halo:
+            # output slot id in the padded lane layout (x-halo columns in
+            # the lane axis: target lane bucket = tgt_bx + 1)
+            dest = (tgt_by * px_out + tgt_bx + 1) * cap + rank
+        else:
+            dest = (tgt_by * bx + tgt_bx) * cap + rank
         destid = jnp.where(keep, dest, -1)
         oid_ref[:] = destid[2 : 2 + ty_rows]
 
@@ -1420,6 +1455,119 @@ def move_dest_pallas(state: ParticleState, interpret: bool = False) -> jnp.ndarr
         interpret=interpret,
     )(flags, *triplet(state.x), *triplet(state.y), *triplet(state.ty))
     return destid
+
+
+@functools.partial(
+    jax.jit, static_argnames=("bx_log2", "by_log2", "interpret")
+)
+def move_dest_pallas_halo(
+    padded: ParticleState,
+    bx_log2: int,
+    by_log2: int,
+    row_offset,
+    col_offset,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Packed destination slot ids for the SHARDED rebucket/migration pass —
+    the halo-grid analog of move_dest_pallas, bit-identical to composing
+    physics.bucket.move_ranks_direct_halo into
+    ``where(keep, (tgt_by*px + tgt_bx + 1)*cap + rank, -1)``.
+
+    The interior rows' ids come from _dest_kernel in halo mode: candidates
+    include the x-halo columns (in the lane axis) and the two y-halo rows
+    (spliced from a packed (8, L) input over the clamp-duplicated ext
+    window rows); targets are bounds-checked against this shard's interior;
+    the shard's global offsets ride SMEM. The two y-halo ROWS' own ids
+    (the place kernel reads them as pull candidates) are computed XLA-side
+    on 3-row slices — a halo-row particle can only target the adjacent
+    interior row, whose full (dy, dx) scan lives inside those 3 rows, so
+    the slice ranks equal the full-grid ranks exactly."""
+    from particle_simulator_tpu.physics.bucket import move_ranks_direct_halo
+
+    py, px, cap = padded.x.shape
+    ly, lx = py - 2, px - 2
+    L = px * cap
+    ty_rows = _pick_ty_rows(ly, L)
+    n_blocks = ly // ty_rows
+
+    def rows2d(a):
+        return a.reshape(py, L)
+
+    x2, y2 = rows2d(padded.x), rows2d(padded.y)
+    ty2 = rows2d(padded.ty)
+    xi, yi, tyi = x2[1:-1], y2[1:-1], ty2[1:-1]  # interior (ly, L)
+
+    flags = (
+        (tyi.reshape(n_blocks, ty_rows * L).max(axis=1) >= 0).astype(jnp.int32)
+    )
+    offs = jnp.stack(
+        [jnp.asarray(row_offset, jnp.int32), jnp.asarray(col_offset, jnp.int32)]
+    )
+    # packed y-halo rows: [x_top, x_bot, y_top, y_bot, ty_top, ty_bot, 0, 0]
+    dead = jnp.full((1, L), 0xFFFFFFFF, jnp.uint32)
+    halo = jnp.concatenate(
+        [
+            x2[0:1], x2[py - 1 :], y2[0:1], y2[py - 1 :],
+            jax.lax.bitcast_convert_type(ty2[0:1], jnp.uint32),
+            jax.lax.bitcast_convert_type(ty2[py - 1 :], jnp.uint32),
+            dead * 0, dead * 0,
+        ],
+        axis=0,
+    )
+
+    def spec(offset):
+        if offset == 0:
+            return pl.BlockSpec((ty_rows, L), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        if offset < 0:
+            return pl.BlockSpec(
+                (ty_rows, L), lambda i: (jnp.maximum(i - 1, 0), 0),
+                memory_space=pltpu.VMEM,
+            )
+        return pl.BlockSpec(
+            (ty_rows, L), lambda i: (jnp.minimum(i + 1, n_blocks - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    kernel = functools.partial(
+        _dest_kernel, ty_rows=ty_rows, by=ly, bx=lx, cap=cap,
+        halo=True, bx_log2=bx_log2, by_log2=by_log2, px_out=px,
+    )
+    (interior_id,) = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # flags
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # (row_off, col_off)
+            pl.BlockSpec((8, L), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        + [spec(o) for _ in range(3) for o in (-1, 0, +1)],
+        out_specs=[pl.BlockSpec((ty_rows, L), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)],
+        out_shape=[jax.ShapeDtypeStruct((ly, L), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        flags, offs, halo,
+        xi, xi, xi, yi, yi, yi, tyi, tyi, tyi,
+    )
+
+    def edge_row_id(sl, local_row, offs_row):
+        # 3-row padded slice whose single interior row is the halo row's
+        # only possible target row; slice-local ranks == full-grid ranks
+        tb, txc, rank, keep = move_ranks_direct_halo(
+            ParticleState(*(a[sl] for a in padded)),
+            bx_log2, by_log2, offs_row, col_offset,
+        )
+        dest = ((tb + local_row) * px + txc + 1) * cap + rank
+        return jnp.where(keep, dest, -1).astype(jnp.int32).reshape(3, L)
+
+    top3 = edge_row_id(slice(0, 3), 0, row_offset)
+    bot3 = edge_row_id(slice(py - 3, py), ly - 1,
+                       row_offset + jnp.asarray(ly - 1, jnp.int32))
+    return jnp.concatenate([top3[0:1], interior_id, bot3[2:3]], axis=0)
 
 
 def _place_kernel(
@@ -1899,15 +2047,21 @@ def bucket_move_pallas_halo(
     Lp = C * Wp  # rounded lane count (tombstone lanes appended past L)
     We = Wp + 2 * pad
 
-    tgt_by, tgt_bx, rank, keep = move_ranks_direct_halo(
-        padded, bx_log2, by_log2, row_offset, col_offset
-    )
-    # destination slot id in OUTPUT coords — (ly, px, cap) with the x-halo
+    # destination slot id in OUTPUT coords — (py, px, cap) with the x-halo
     # columns still in the lane axis (target lane bucket = tgt_bx + 1); -1 =
     # dropped/dead, never equal to a real output id
-    destid = jnp.where(
-        keep, (tgt_by * px + tgt_bx + 1) * cap + rank, -1
-    ).astype(jnp.int32)
+    if os.environ.get("PS_DEST_PALLAS", "1") == "1":
+        destid = move_dest_pallas_halo(
+            padded, bx_log2, by_log2, row_offset, col_offset,
+            interpret=interpret,
+        ).reshape(py, px, cap)
+    else:
+        tgt_by, tgt_bx, rank, keep = move_ranks_direct_halo(
+            padded, bx_log2, by_log2, row_offset, col_offset
+        )
+        destid = jnp.where(
+            keep, (tgt_by * px + tgt_bx + 1) * cap + rank, -1
+        ).astype(jnp.int32)
 
     def rows2d(a):
         return a.reshape(py, L)

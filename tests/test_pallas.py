@@ -822,3 +822,53 @@ def test_move_dest_pallas_bit_identical():
         ref = ref.astype(np.int32).reshape(by, bx * cap)
         got = np.asarray(move_dest_pallas(st, interpret=True))
         np.testing.assert_array_equal(ref, got, err_msg=f"{(by, bx, cap)}")
+
+
+def test_move_dest_pallas_halo_bit_identical():
+    """The sharded dest kernel (move_dest_pallas_halo: _dest_kernel in halo
+    mode + XLA 3-row slices for the y-halo rows' own ids) must reproduce the
+    move_ranks_direct_halo composition EXACTLY over random halo-padded
+    shards with nonzero global offsets — including halo-row candidates
+    (their targets clamp to the adjacent interior row), off-shard targets
+    (dropped), overflow, and x-halo-column lanes."""
+    from particle_simulator_tpu.engine.state import ParticleState
+    from particle_simulator_tpu.ops.bucket_pallas import move_dest_pallas_halo
+    from particle_simulator_tpu.physics.bucket import move_ranks_direct_halo
+
+    rng = np.random.default_rng(1)
+    for ly, lx, cap, bxl, byl, roff, coff in [
+        (16, 6, 4, 4, 6, 8, 2),
+        (32, 14, 8, 5, 6, 0, 16),
+        (8, 30, 16, 6, 3, 0, 0),
+    ]:
+        py, px = ly + 2, lx + 2
+        n = py * px * cap
+        iy, ix, _ = np.meshgrid(
+            np.arange(py), np.arange(px), np.arange(cap), indexing="ij"
+        )
+        gx = (ix.ravel() - 1 + coff) % (1 << bxl)
+        gy = (iy.ravel() - 1 + roff) % (1 << byl)
+        jx = rng.integers(-(1 << (32 - bxl)), 1 << (32 - bxl), n).astype(np.int64)
+        jy = rng.integers(-(1 << (32 - byl)), 1 << (32 - byl), n).astype(np.int64)
+        x = ((gx.astype(np.int64) << (32 - bxl))
+             + (1 << (31 - bxl)) + jx * 2) % (1 << 32)
+        y = ((gy.astype(np.int64) << (32 - byl))
+             + (1 << (31 - byl)) + jy * 2) % (1 << 32)
+        ty = np.where(rng.random(n) < 0.6, rng.integers(0, 2, n), -1).astype(np.int32)
+        st = ParticleState(
+            x=jnp.asarray(x.astype(np.uint32)).reshape(py, px, cap),
+            y=jnp.asarray(y.astype(np.uint32)).reshape(py, px, cap),
+            vx=jnp.zeros((py, px, cap), jnp.float32),
+            vy=jnp.zeros((py, px, cap), jnp.float32),
+            ty=jnp.asarray(ty).reshape(py, px, cap),
+        )
+        tb, tx, rank, keep = move_ranks_direct_halo(
+            st, bxl, byl, jnp.int32(roff), jnp.int32(coff)
+        )
+        ref = np.where(
+            np.asarray(keep), np.asarray((tb * px + tx + 1) * cap + rank), -1
+        ).astype(np.int32).reshape(py, px * cap)
+        got = np.asarray(move_dest_pallas_halo(
+            st, bxl, byl, jnp.int32(roff), jnp.int32(coff), interpret=True
+        ))
+        np.testing.assert_array_equal(ref, got, err_msg=f"{(ly, lx, cap)}")
