@@ -31,6 +31,10 @@ run() {  # run <name> <timeout_s> <cmd...>
     fi
 }
 
+# hw numerics incl. the sharded halo dest kernel (committed after queue
+# r5d's hw leg started; compile cache is warm, so this is the cheap pass)
+run hw2 3600 env PS_SHARD_REFRESH=refs PS_TPU_TEST_PLATFORM=axon,cpu \
+    python -m pytest tests/test_tpu_hw.py -q
 run udec 2400 python scripts/userscene_decomp.py
 run hlo_refs 2400 env PS_SHARD_REFRESH=refs python scripts/hlo_probe.py
 note "hlo_refs tail: $(tail -4 /tmp/chipq_hlo_refs.log | tr '\n' ' | ')"
